@@ -1,0 +1,320 @@
+"""Typed configuration system.
+
+Replaces the reference's mmengine flat-namespace configs
+(reference: project/plangen/cfg/base.py, train.py:23-49) with frozen
+dataclasses plus the same CLI ergonomics: dotted-key overrides
+(``--opt test_data.task_type=uni``) deep-merge into the config tree.
+
+Dead reference flags (use_2d_rope, beam_search, use_showo, trans_data_to_rm,
+O1..O4, score_*, ...) are intentionally not carried over
+(reference cfg/base.py documents them but no code path reads them).
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from dataclasses import dataclass, field, fields, replace
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+# ---------------------------------------------------------------------------
+# Model configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    """Janus-Pro-1B language backbone (DeepSeek-LLM-1.3B architecture).
+
+    Dims per the HF `deepseek-ai/Janus-Pro-1B` language_config; vocab size is
+    also visible in the reference (plangen_base.py:881 logits comment: 102400).
+    """
+
+    vocab_size: int = 102400
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_layers: int = 24
+    num_heads: int = 16
+    num_kv_heads: int = 16
+    head_dim: int = 128
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    max_position_embeddings: int = 16384
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+@dataclass(frozen=True)
+class SigLIPConfig:
+    """SigLIP-Large-patch16-384 understanding tower.
+
+    Reference: three_party/Janus/janus/models/siglip_vit.py:628-637
+    (width 1024 / 24 layers / 16 heads / mlp_ratio 4, no class token,
+    attn-pool head dropped because ignore_head=True).
+    """
+
+    image_size: int = 384
+    patch_size: int = 16
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    mlp_ratio: float = 4.0
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+@dataclass(frozen=True)
+class VQConfig:
+    """LlamaGen VQ-16 image tokenizer.
+
+    Reference: three_party/Janus/janus/models/vq_model.py:31-43,519-524
+    (codebook 16384 x 8, l2-normalized; ch 128, ch_mult [1,1,2,2,4],
+    2 res blocks per level, z_channels 256, GroupNorm(32, eps 1e-6), swish).
+    """
+
+    codebook_size: int = 16384
+    codebook_dim: int = 8
+    l2_norm: bool = True
+    ch: int = 128
+    ch_mult: Tuple[int, ...] = (1, 1, 2, 2, 4)
+    num_res_blocks: int = 2
+    z_channels: int = 256
+    out_channels: int = 3
+    group_norm_groups: int = 32
+    group_norm_eps: float = 1e-6
+    commit_beta: float = 0.25
+
+    @property
+    def downsample_factor(self) -> int:
+        return 2 ** (len(self.ch_mult) - 1)
+
+
+@dataclass(frozen=True)
+class ProjectorConfig:
+    """MLP projector (reference: janus/models/projector.py:27-86)."""
+
+    projector_type: str = "mlp_gelu"
+    input_dim: int = 1024
+    n_embed: int = 2048
+    depth: int = 2
+
+
+@dataclass(frozen=True)
+class PlanGenModelConfig:
+    """Composition root matching MultiModalityCausalLM submodules.
+
+    Reference: janus/models/modeling_vlm.py:190-219.
+    """
+
+    llama: LlamaConfig = field(default_factory=LlamaConfig)
+    vision: SigLIPConfig = field(default_factory=SigLIPConfig)
+    vq: VQConfig = field(default_factory=VQConfig)
+    aligner: ProjectorConfig = field(
+        default_factory=lambda: ProjectorConfig(input_dim=1024, n_embed=2048, depth=2)
+    )
+    gen_aligner: ProjectorConfig = field(
+        default_factory=lambda: ProjectorConfig(input_dim=8, n_embed=2048, depth=2)
+    )
+    # gen_head: Linear(n_embed -> image_token_embed) -> GELU -> Linear(-> image_token_size)
+    # reference: janus/models/modeling_vlm.py:36-51
+    image_token_embed: int = 2048
+    image_token_size: int = 16384
+    # gen_embed: Embedding(image_token_size, n_embed=8), modeling_vlm.py:214-216
+    gen_embed_dim: int = 8
+
+    @property
+    def image_seq_len(self) -> int:
+        """576 image tokens for 384px (patch 16). plangen_base.py:129-132."""
+        return (self.vision.image_size // self.vision.patch_size) ** 2
+
+    @staticmethod
+    def tiny() -> "PlanGenModelConfig":
+        """A CPU-testable model with the same topology (for tests/CI)."""
+        return PlanGenModelConfig(
+            llama=LlamaConfig(
+                vocab_size=512,
+                hidden_size=64,
+                intermediate_size=128,
+                num_layers=2,
+                num_heads=4,
+                num_kv_heads=4,
+                head_dim=16,
+            ),
+            vision=SigLIPConfig(
+                image_size=32, patch_size=16, width=32, layers=2, heads=2
+            ),
+            vq=VQConfig(
+                codebook_size=64,
+                codebook_dim=8,
+                ch=16,
+                ch_mult=(1, 2),
+                num_res_blocks=1,
+                z_channels=16,
+                group_norm_groups=4,
+            ),
+            aligner=ProjectorConfig(input_dim=32, n_embed=64, depth=2),
+            gen_aligner=ProjectorConfig(input_dim=8, n_embed=64, depth=2),
+            image_token_embed=64,
+            image_token_size=64,
+            gen_embed_dim=8,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Generation / task / train configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    """Decode-loop knobs (reference defaults: plangen_base.py:336-338, cfg/base.py)."""
+
+    cfg_weight: float = 5.0
+    temperature: float = 1.0
+    parallel_size: int = 1          # sampling width, cfg/base.py:158
+    max_new_text_tokens: int = 512  # layout/MMU budget, plangen_base.py:520
+    image_tokens: int = 576
+    seed: int = 0
+    use_teacher_forcing: bool = False
+    use_neg_box: bool = False
+    pad_edit_box: float = 0.0
+    # long negative prompt, cfg/base.py `neg_prompt`
+    neg_prompt: str = (
+        "low quality, jpeg artifacts, ugly, duplicate, morbid, mutilated, extra "
+        "fingers, mutated hands, poorly drawn hands, poorly drawn face, mutation, "
+        "deformed, blurry, dehydrated, bad anatomy, bad proportions, extra limbs, "
+        "cloned face, disfigured, gross proportions, malformed limbs, missing arms, "
+        "missing legs, extra arms, extra legs, fused fingers, too many fingers."
+    )
+
+
+@dataclass(frozen=True)
+class FlowConfig:
+    """One training data flow (reference: cfg train_data entries)."""
+
+    task_type: str = "uni"  # uni | mmu | plan | t2i
+    data_name: Any = "toy"
+    batch_size: int = 2
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """AdamW recipe (reference: cfg/base.py:53-60)."""
+
+    learning_rate: float = 5e-5
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    adam_weight_decay: float = 0.01
+    max_grad_norm: float = 1.0
+    lr_scheduler: str = "constant"
+    lr_warmup_steps: int = 0
+    gradient_accumulation_steps: int = 1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    seed: int = 0
+    output_dir: str = "out"
+    max_train_steps: int = 200_000
+    checkpointing_steps: int = 5000
+    validation_steps: int = 5000
+    checkpoints_total_limit: int = 3
+    resume: Optional[str] = "latest"
+    tuning_mode: str = "stage3"  # all | lm | stage1 | stage2 | stage3 | lora
+    lora_rank: int = 256
+    lora_alpha: int = 128
+    tune_token_when_lora: bool = True
+    gradient_checkpointing: bool = False
+    max_seq_len: int = 700
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train_data: Tuple[FlowConfig, ...] = (FlowConfig(),)
+    # loss scales: map loss-key substring -> multiplier; plan_lr_scale applies to
+    # every '*lm*' loss key (reference forward: plangen_base.py:1077-1084)
+    loss_scales: Dict[str, float] = field(default_factory=dict)
+    plan_lr_scale: Optional[float] = None
+    # mesh: axis name -> size; -1 means "all remaining devices"
+    mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": -1, "model": 1})
+
+
+@dataclass(frozen=True)
+class PlanGenConfig:
+    """Top-level config bundle."""
+
+    model: PlanGenModelConfig = field(default_factory=PlanGenModelConfig)
+    generation: GenerationConfig = field(default_factory=GenerationConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    janus_path: Optional[str] = None        # local Janus-Pro-1B dir (tokenizer+weights)
+    use_textual: bool = True                # 0-1000 int coords vs <h/w> tokens
+    use_special_tokens: bool = True
+    use_numhw_tokens: bool = False
+    janus_hw: int = 384
+    param_dtype: str = "bfloat16"
+
+
+# ---------------------------------------------------------------------------
+# Dotted-key override merging (mmengine DictAction ergonomics)
+# ---------------------------------------------------------------------------
+
+
+def _parse_value(text: str) -> Any:
+    try:
+        return ast.literal_eval(text)
+    except (ValueError, SyntaxError):
+        return text
+
+
+def apply_overrides(cfg: Any, overrides: Dict[str, Any]) -> Any:
+    """Return a copy of dataclass `cfg` with dotted-key overrides applied.
+
+    `apply_overrides(cfg, {"train.optim.learning_rate": 1e-4})` mirrors the
+    reference's `--opt train.optim.learning_rate=1e-4` deep merge
+    (reference: train.py:30-34).
+    String values are literal-eval'd when possible.
+    """
+    for key, value in overrides.items():
+        if isinstance(value, str):
+            value = _parse_value(value)
+        parts = key.split(".")
+        cfg = _set_path(cfg, parts, value)
+    return cfg
+
+
+def _set_path(node: Any, parts: Sequence[str], value: Any) -> Any:
+    head, rest = parts[0], parts[1:]
+    if dataclasses.is_dataclass(node):
+        names = {f.name for f in fields(node)}
+        if head not in names:
+            raise KeyError(f"unknown config key {head!r} on {type(node).__name__}")
+        if rest:
+            child = getattr(node, head)
+            value = _set_path(child, rest, value)
+        return replace(node, **{head: value})
+    if isinstance(node, dict):
+        out = dict(node)
+        if rest:
+            out[head] = _set_path(out.get(head, {}), rest, value)
+        else:
+            out[head] = value
+        return out
+    raise TypeError(f"cannot descend into {type(node)} at {head!r}")
+
+
+def parse_opt_list(opts: List[str]) -> Dict[str, Any]:
+    """Parse ['a.b=1', 'c=x'] CLI fragments into an override dict."""
+    out: Dict[str, Any] = {}
+    for item in opts:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} must be key=value")
+        key, _, val = item.partition("=")
+        out[key.strip()] = _parse_value(val.strip())
+    return out
