@@ -1,0 +1,206 @@
+"""LLaMA decoder (Janus-Pro-1B language backbone) as pure-functional JAX.
+
+TPU-first re-design of the reference's HF `LlamaForCausalLM`
+(instantiated at three_party/Janus/janus/models/modeling_vlm.py:219;
+DeepSeek-LLM-1.3B architecture). Parameters are a plain pytree of arrays so
+pjit sharding rules can be attached by path; all ops are static-shape and
+compile to a single XLA program.
+
+Numerics:
+  * RMSNorm in fp32 (HF LlamaRMSNorm upcasts), output cast back.
+  * RoPE cos/sin computed in fp32 (HF computes rotary in fp32).
+  * Attention softmax fp32 (ops.attention).
+  * Position ids are ABSOLUTE indices into the padded sequence — HF derives
+    them from cache_position (arange over past_len..past_len+q_len), NOT from
+    the attention mask, so left-padded rows count pad positions. We match
+    that exactly (SURVEY.md §7 "Left-padding + KV cache + RoPE positions").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from plangen_tpu.config import LlamaConfig
+from plangen_tpu.ops.attention import dot_product_attention, make_causal_bias
+
+Params = Dict[str, Any]
+KVCache = Tuple[jax.Array, jax.Array]  # (k, v) each [L, B, S_max, Hkv, D]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _dense(key, in_dim, out_dim, dtype) -> jax.Array:
+    # stored as [in, out] so apply is x @ w (no transpose in the hot path)
+    scale = in_dim ** -0.5
+    return (jax.random.normal(key, (in_dim, out_dim)) * scale).astype(dtype)
+
+
+def init_layer(key: jax.Array, cfg: LlamaConfig, dtype) -> Params:
+    ks = jax.random.split(key, 7)
+    h, qd, kvd, i = cfg.hidden_size, cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
+    return {
+        "input_norm": jnp.ones((h,), dtype=dtype),
+        "post_attn_norm": jnp.ones((h,), dtype=dtype),
+        "q_proj": _dense(ks[0], h, qd, dtype),
+        "k_proj": _dense(ks[1], h, kvd, dtype),
+        "v_proj": _dense(ks[2], h, kvd, dtype),
+        "o_proj": _dense(ks[3], qd, h, dtype),
+        "gate_proj": _dense(ks[4], h, i, dtype),
+        "up_proj": _dense(ks[5], h, i, dtype),
+        "down_proj": _dense(ks[6], i, h, dtype),
+    }
+
+
+def init(key: jax.Array, cfg: LlamaConfig, dtype=jnp.bfloat16) -> Params:
+    keys = jax.random.split(key, cfg.num_layers + 3)
+    return {
+        "embed_tokens": (
+            jax.random.normal(keys[0], (cfg.vocab_size, cfg.hidden_size)) * 0.02
+        ).astype(dtype),
+        "final_norm": jnp.ones((cfg.hidden_size,), dtype=dtype),
+        "lm_head": _dense(keys[1], cfg.hidden_size, cfg.vocab_size, dtype),
+        "layers": [init_layer(keys[2 + l], cfg, dtype) for l in range(cfg.num_layers)],
+    }
+
+
+# ---------------------------------------------------------------------------
+# ops
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_cos_sin(
+    positions: jax.Array, head_dim: int, theta: float
+) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables (fp32) for given absolute positions [Q] -> [Q, D]."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [Q, D/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # HF half-split layout
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """HF-style rotate_half RoPE. x: [B, Q, H, D]; cos/sin: [Q, D]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return (x.astype(jnp.float32) * c + rotated.astype(jnp.float32) * s).astype(x.dtype)
+
+
+def mlp_block(p: Params, x: jax.Array) -> jax.Array:
+    gate = jax.nn.silu(x @ p["gate_proj"])
+    up = x @ p["up_proj"]
+    return (gate * up) @ p["down_proj"]
+
+
+def _layer(
+    p: Params,
+    cfg: LlamaConfig,
+    x: jax.Array,  # [B, Q, H]
+    bias: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    cache_kv: Optional[KVCache],  # per-layer (k, v) [B, S_max, Hkv, D] or None
+    write_at,  # scalar start index for cache writes
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    B, Q, _ = x.shape
+    xin = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+    q = (xin @ p["q_proj"]).reshape(B, Q, cfg.num_heads, cfg.head_dim)
+    k = (xin @ p["k_proj"]).reshape(B, Q, cfg.num_kv_heads, cfg.head_dim)
+    v = (xin @ p["v_proj"]).reshape(B, Q, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_kv is not None:
+        k_cache, v_cache = cache_kv
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k.astype(k_cache.dtype), write_at, axis=1
+        )
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v.astype(v_cache.dtype), write_at, axis=1
+        )
+        attn = dot_product_attention(q, k_cache, v_cache, bias=bias)
+        new_cache = (k_cache, v_cache)
+    else:
+        attn = dot_product_attention(q, k, v, bias=bias)
+        new_cache = None
+
+    x = x + attn.reshape(B, Q, cfg.q_dim) @ p["o_proj"]
+    x = x + mlp_block(p, rms_norm(x, p["post_attn_norm"], cfg.rms_norm_eps))
+    return x, new_cache
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def embed(params: Params, ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed_tokens"], ids, axis=0)
+
+
+def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
+    """LM logits in fp32 (reference loss upcasts: src/utils/causal_loss.py:16)."""
+    return (hidden @ params["lm_head"]).astype(jnp.float32)
+
+
+def forward(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,  # [B, Q, H]
+    attn_mask: jax.Array,  # [B, Q] pad mask (no-cache) or [B, S_max] (cache)
+    positions: Optional[jax.Array] = None,  # [Q] absolute query positions
+    kv_cache: Optional[KVCache] = None,  # (k, v) [L, B, S_max, Hkv, D]
+    write_at=None,  # scalar cache write offset (== positions[0])
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Run the decoder stack (final RMSNorm applied, no head).
+
+    Without a cache (training / full-seq forward): causal + pad bias over the
+    Q x Q sequence, returns (hidden [B, Q, H], None).
+
+    With a cache: the query block [write_at, write_at+Q) is written into the
+    cache, attention runs over the full S_max cache with positions masked by
+    `attn_mask` and causality, and the UPDATED cache is returned. This makes
+    both prefill (Q = prompt length) and decode (Q = 1) the same code path —
+    one jitted program each.
+    """
+    B, Q, _ = inputs_embeds.shape
+    if positions is None:
+        positions = jnp.arange(Q, dtype=jnp.int32)
+    if kv_cache is None:
+        kv_positions = positions
+    else:
+        kv_positions = jnp.arange(kv_cache[0].shape[2], dtype=jnp.int32)
+        if write_at is None:
+            write_at = positions[0]
+    bias = make_causal_bias(attn_mask, positions, kv_positions)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    x = inputs_embeds
+    new_k, new_v = [], []
+    for l, layer_p in enumerate(params["layers"]):
+        layer_cache = None if kv_cache is None else (kv_cache[0][l], kv_cache[1][l])
+        x, updated = _layer(layer_p, cfg, x, bias, cos, sin, layer_cache, write_at)
+        if updated is not None:
+            new_k.append(updated[0])
+            new_v.append(updated[1])
+
+    hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    out_cache = (jnp.stack(new_k), jnp.stack(new_v)) if kv_cache is not None else None
+    return hidden, out_cache

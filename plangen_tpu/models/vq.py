@@ -1,0 +1,348 @@
+"""LlamaGen VQ-16 image tokenizer (encoder / vector-quantizer / decoder), NHWC JAX.
+
+Re-implements three_party/Janus/janus/models/vq_model.py (Encoder:46-124,
+Decoder:127-214, VectorQuantizer:217-299, VQModel:466-513) TPU-first:
+
+  * NHWC layout throughout (TPU-native conv layout; the reference is NCHW).
+  * GroupNorm(32, eps 1e-6) computed in fp32, convs in param dtype (matches
+    torch autocast behavior: GN fp32, conv bf16).
+  * Upsample = nearest 2x + conv3x3. The reference's bf16->fp32->bf16 dance
+    around F.interpolate (vq_model.py:417-423) is a numeric no-op for nearest
+    interpolation, so it is not replicated.
+  * Downsample = asymmetric pad (H,W: (0,1)) + stride-2 conv (vq_model.py:437-448).
+  * Codebook is 16384 x 8, L2-normalized on lookup (l2_norm=True).
+
+Structure:
+  encoder levels i=0..L-1: num_res_blocks ResnetBlocks (attn at last level),
+  downsample between levels; mid = res, attn, res; GN + swish + conv_out.
+  decoder levels run deepest-first: (num_res_blocks+1) ResnetBlocks per level
+  (attn at the deepest), upsample after each level except the last.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from plangen_tpu.config import VQConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(key, kh, kw, cin, cout, dtype):
+    fan_in = kh * kw * cin
+    w = jax.random.normal(key, (kh, kw, cin, cout)) * (fan_in ** -0.5)
+    return {"w": w.astype(dtype), "b": jnp.zeros((cout,), dtype=dtype)}
+
+
+def conv2d(p: Params, x: jax.Array, stride: int = 1, padding="SAME") -> jax.Array:
+    out = jax.lax.conv_general_dilated(
+        x.astype(p["w"].dtype),
+        p["w"],
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + p["b"]
+
+
+def group_norm(p: Params, x: jax.Array, groups: int, eps: float) -> jax.Array:
+    B, H, W, C = x.shape
+    xf = x.astype(jnp.float32).reshape(B, H, W, groups, C // groups)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(B, H, W, C)
+    out = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def swish(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def _gn_init(c, dtype):
+    return {"scale": jnp.ones((c,), dtype=dtype), "bias": jnp.zeros((c,), dtype=dtype)}
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+
+def init_resblock(key, cin, cout, dtype) -> Params:
+    ks = jax.random.split(key, 3)
+    p = {
+        "norm1": _gn_init(cin, dtype),
+        "conv1": _conv_init(ks[0], 3, 3, cin, cout, dtype),
+        "norm2": _gn_init(cout, dtype),
+        "conv2": _conv_init(ks[1], 3, 3, cout, cout, dtype),
+    }
+    if cin != cout:
+        p["nin_shortcut"] = _conv_init(ks[2], 1, 1, cin, cout, dtype)
+    return p
+
+
+def resblock(p: Params, cfg: VQConfig, x: jax.Array) -> jax.Array:
+    h = group_norm(p["norm1"], x, cfg.group_norm_groups, cfg.group_norm_eps)
+    h = conv2d(p["conv1"], swish(h))
+    h = group_norm(p["norm2"], h, cfg.group_norm_groups, cfg.group_norm_eps)
+    h = conv2d(p["conv2"], swish(h))
+    if "nin_shortcut" in p:
+        x = conv2d(p["nin_shortcut"], x)
+    return x + h
+
+
+def init_attnblock(key, c, dtype) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "norm": _gn_init(c, dtype),
+        "q": _conv_init(ks[0], 1, 1, c, c, dtype),
+        "k": _conv_init(ks[1], 1, 1, c, c, dtype),
+        "v": _conv_init(ks[2], 1, 1, c, c, dtype),
+        "proj_out": _conv_init(ks[3], 1, 1, c, c, dtype),
+    }
+
+
+def attnblock(p: Params, cfg: VQConfig, x: jax.Array) -> jax.Array:
+    """Single-head spatial self-attention over H*W tokens (vq_model.py:426-460)."""
+    B, H, W, C = x.shape
+    h = group_norm(p["norm"], x, cfg.group_norm_groups, cfg.group_norm_eps)
+    q = conv2d(p["q"], h).reshape(B, H * W, C)
+    k = conv2d(p["k"], h).reshape(B, H * W, C)
+    v = conv2d(p["v"], h).reshape(B, H * W, C)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * (C ** -0.5), axis=-1)
+    out = jnp.einsum(
+        "bqk,bkc->bqc", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    out = conv2d(p["proj_out"], out.reshape(B, H, W, C))
+    return x + out
+
+
+def upsample_nearest2x(x: jax.Array) -> jax.Array:
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, 2 * H, 2 * W, C)
+
+
+def downsample(p: Params, x: jax.Array) -> jax.Array:
+    # torch F.pad (0,1,0,1): W right+1, H bottom+1 (vq_model.py:443-445)
+    x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    return conv2d(p["conv"], x, stride=2, padding="VALID")
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder
+# ---------------------------------------------------------------------------
+
+
+def init_encoder(key, cfg: VQConfig, dtype) -> Params:
+    n_levels = len(cfg.ch_mult)
+    in_mult = (1,) + tuple(cfg.ch_mult)
+    keys = jax.random.split(key, n_levels + 8)
+    p: Params = {"conv_in": _conv_init(keys[0], 3, 3, 3, cfg.ch, dtype), "levels": []}
+    for i in range(n_levels):
+        lk = jax.random.split(keys[1 + i], 2 * cfg.num_res_blocks + 2)
+        cin = cfg.ch * in_mult[i]
+        cout = cfg.ch * cfg.ch_mult[i]
+        level: Params = {"res": [], "attn": []}
+        c = cin
+        for b in range(cfg.num_res_blocks):
+            level["res"].append(init_resblock(lk[b], c, cout, dtype))
+            c = cout
+            if i == n_levels - 1:
+                level["attn"].append(
+                    init_attnblock(lk[cfg.num_res_blocks + b], c, dtype)
+                )
+        if i != n_levels - 1:
+            level["down"] = {"conv": _conv_init(lk[-1], 3, 3, c, c, dtype)}
+        p["levels"].append(level)
+    c = cfg.ch * cfg.ch_mult[-1]
+    mk = jax.random.split(keys[-1], 3)
+    p["mid"] = {
+        "res1": init_resblock(mk[0], c, c, dtype),
+        "attn": init_attnblock(mk[1], c, dtype),
+        "res2": init_resblock(mk[2], c, c, dtype),
+    }
+    p["norm_out"] = _gn_init(c, dtype)
+    p["conv_out"] = _conv_init(keys[-2], 3, 3, c, cfg.z_channels, dtype)
+    return p
+
+
+def encoder_forward(p: Params, cfg: VQConfig, x: jax.Array) -> jax.Array:
+    h = conv2d(p["conv_in"], x)
+    n_levels = len(cfg.ch_mult)
+    for i, level in enumerate(p["levels"]):
+        for b, res_p in enumerate(level["res"]):
+            h = resblock(res_p, cfg, h)
+            if level["attn"]:
+                h = attnblock(level["attn"][b], cfg, h)
+        if i != n_levels - 1:
+            h = downsample(level["down"], h)
+    h = resblock(p["mid"]["res1"], cfg, h)
+    h = attnblock(p["mid"]["attn"], cfg, h)
+    h = resblock(p["mid"]["res2"], cfg, h)
+    h = group_norm(p["norm_out"], h, cfg.group_norm_groups, cfg.group_norm_eps)
+    return conv2d(p["conv_out"], swish(h))
+
+
+def init_decoder(key, cfg: VQConfig, dtype) -> Params:
+    n_levels = len(cfg.ch_mult)
+    keys = jax.random.split(key, n_levels + 8)
+    block_in = cfg.ch * cfg.ch_mult[-1]
+    p: Params = {
+        "conv_in": _conv_init(keys[0], 3, 3, cfg.z_channels, block_in, dtype),
+        "levels": [],
+    }
+    mk = jax.random.split(keys[-1], 3)
+    p["mid"] = {
+        "res1": init_resblock(mk[0], block_in, block_in, dtype),
+        "attn": init_attnblock(mk[1], block_in, dtype),
+        "res2": init_resblock(mk[2], block_in, block_in, dtype),
+    }
+    c = block_in
+    # levels run deepest-first (reversed ch_mult), reference Decoder:158-185
+    for idx, i_level in enumerate(reversed(range(n_levels))):
+        lk = jax.random.split(keys[1 + idx], 2 * (cfg.num_res_blocks + 1) + 2)
+        cout = cfg.ch * cfg.ch_mult[i_level]
+        level: Params = {"res": [], "attn": []}
+        for b in range(cfg.num_res_blocks + 1):
+            level["res"].append(init_resblock(lk[b], c, cout, dtype))
+            c = cout
+            if i_level == n_levels - 1:
+                level["attn"].append(
+                    init_attnblock(lk[cfg.num_res_blocks + 1 + b], c, dtype)
+                )
+        if i_level != 0:
+            level["up"] = {"conv": _conv_init(lk[-1], 3, 3, c, c, dtype)}
+        p["levels"].append(level)
+    p["norm_out"] = _gn_init(c, dtype)
+    p["conv_out"] = _conv_init(keys[-2], 3, 3, c, cfg.out_channels, dtype)
+    return p
+
+
+def decoder_forward(p: Params, cfg: VQConfig, z: jax.Array) -> jax.Array:
+    h = conv2d(p["conv_in"], z)
+    h = resblock(p["mid"]["res1"], cfg, h)
+    h = attnblock(p["mid"]["attn"], cfg, h)
+    h = resblock(p["mid"]["res2"], cfg, h)
+    n_levels = len(cfg.ch_mult)
+    for idx, level in enumerate(p["levels"]):
+        for b, res_p in enumerate(level["res"]):
+            h = resblock(res_p, cfg, h)
+            if level["attn"]:
+                h = attnblock(level["attn"][b], cfg, h)
+        if idx != n_levels - 1:
+            h = upsample_nearest2x(h)
+            h = conv2d(level["up"]["conv"], h)
+    h = group_norm(p["norm_out"], h, cfg.group_norm_groups, cfg.group_norm_eps)
+    return conv2d(p["conv_out"], swish(h))
+
+
+# ---------------------------------------------------------------------------
+# quantizer + full model
+# ---------------------------------------------------------------------------
+
+
+def init(key: jax.Array, cfg: VQConfig, dtype=jnp.bfloat16) -> Params:
+    ks = jax.random.split(key, 5)
+    return {
+        "encoder": init_encoder(ks[0], cfg, dtype),
+        "decoder": init_decoder(ks[1], cfg, dtype),
+        # codebook kept fp32: quantization distances are precision-sensitive
+        "codebook": jax.random.uniform(
+            ks[2],
+            (cfg.codebook_size, cfg.codebook_dim),
+            minval=-1.0 / cfg.codebook_size,
+            maxval=1.0 / cfg.codebook_size,
+            dtype=jnp.float32,
+        ),
+        "quant_conv": _conv_init(ks[3], 1, 1, cfg.z_channels, cfg.codebook_dim, dtype),
+        "post_quant_conv": _conv_init(
+            ks[4], 1, 1, cfg.codebook_dim, cfg.z_channels, dtype
+        ),
+    }
+
+
+def _normalized_codebook(params: Params, cfg: VQConfig) -> jax.Array:
+    cb = params["codebook"].astype(jnp.float32)
+    if cfg.l2_norm:
+        cb = cb / jnp.linalg.norm(cb, axis=-1, keepdims=True).clip(1e-12)
+    return cb
+
+
+def quantize(
+    params: Params, cfg: VQConfig, z: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """z: [B, h, w, e_dim] -> (z_q [B, h, w, e_dim] fp32, indices [B, h*w] int32).
+
+    Matches VectorQuantizer.forward (vq_model.py:236-283): L2-normalize both
+    z and the codebook, nearest code by squared distance.
+    """
+    B, h, w, e = z.shape
+    zf = z.astype(jnp.float32).reshape(B * h * w, e)
+    if cfg.l2_norm:
+        zf = zf / jnp.linalg.norm(zf, axis=-1, keepdims=True).clip(1e-12)
+    cb = _normalized_codebook(params, cfg)
+    # argmin over ||z - e||^2 = |z|^2 + |e|^2 - 2 z.e
+    d = (
+        jnp.sum(zf * zf, axis=1, keepdims=True)
+        + jnp.sum(cb * cb, axis=1)[None, :]
+        - 2.0 * (zf @ cb.T)
+    )
+    idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    z_q = jnp.take(cb, idx, axis=0).reshape(B, h, w, e)
+    return z_q, idx.reshape(B, h * w)
+
+
+def encode_to_indices(params: Params, cfg: VQConfig, images: jax.Array) -> jax.Array:
+    """images [B, H, W, 3] in [-1, 1] -> VQ token ids [B, (H/16)*(W/16)].
+
+    Reference usage: gen_vision_model.encode(x)[-1][-1] (plangen_base.py:532,922).
+    """
+    h = encoder_forward(params["encoder"], cfg, images)
+    h = conv2d(params["quant_conv"], h)
+    _, idx = quantize(params, cfg, h)
+    return idx
+
+
+def decode_code(
+    params: Params, cfg: VQConfig, indices: jax.Array, grid_hw: Tuple[int, int]
+) -> jax.Array:
+    """VQ token ids [B, N] -> images [B, H, W, 3].
+
+    Reference: decode_code(ids, shape=[B, 8, 24, 24]) (plangen_base.py:555).
+    """
+    B = indices.shape[0]
+    gh, gw = grid_hw
+    cb = _normalized_codebook(params, cfg)
+    z_q = jnp.take(cb, indices.reshape(-1), axis=0).reshape(B, gh, gw, cfg.codebook_dim)
+    z = conv2d(params["post_quant_conv"], z_q)
+    return decoder_forward(params["decoder"], cfg, z)
+
+
+def straight_through_quantize(
+    params: Params, cfg: VQConfig, z: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Training-path quantize with straight-through estimator and VQ losses.
+
+    Returns (z_q with STE, commit+vq loss scalar fp32, indices). The reference
+    computes vq_loss + beta*commit_loss in training (vq_model.py:266-272);
+    PlanGen freezes the VQ model (stage3) so this is for completeness.
+    """
+    z_q, idx = quantize(params, cfg, z)
+    zf = z.astype(jnp.float32)
+    if cfg.l2_norm:
+        zf = zf / jnp.linalg.norm(zf, axis=-1, keepdims=True).clip(1e-12)
+    vq_loss = jnp.mean((z_q - jax.lax.stop_gradient(zf)) ** 2)
+    commit_loss = cfg.commit_beta * jnp.mean((jax.lax.stop_gradient(z_q) - zf) ** 2)
+    z_q_ste = zf + jax.lax.stop_gradient(z_q - zf)
+    return z_q_ste.astype(z.dtype), vq_loss + commit_loss, idx
