@@ -152,11 +152,13 @@ class PlanGenModelConfig:
             vision=SigLIPConfig(
                 image_size=32, patch_size=16, width=32, layers=2, heads=2
             ),
+            # downsample 16x (5 levels) so the VQ grid matches the patch-16
+            # image-token grid, like the real VQ-16 does at 384px
             vq=VQConfig(
                 codebook_size=64,
                 codebook_dim=8,
-                ch=16,
-                ch_mult=(1, 2),
+                ch=8,
+                ch_mult=(1, 1, 1, 1, 2),
                 num_res_blocks=1,
                 z_channels=16,
                 group_norm_groups=4,

@@ -1,0 +1,174 @@
+"""Fused autoregressive decode loops.
+
+TPU-first re-design of the reference's two decode loops:
+
+  * image generation — 576 KV-cached LM steps with classifier-free guidance
+    over an interleaved cond/uncond dual batch and optional teacher forcing
+    (reference: sample_image, plangen_base.py:567-607 — a Python loop paying
+    HF module dispatch per token). Here: ONE jitted program = prefill +
+    `lax.scan` over all 576 steps + sampling, no host round-trips.
+  * greedy text decode for layout planning / MMU (reference: x2t via HF
+    `generate`, plangen_base.py:513-523 — greedy, max 512 new tokens,
+    EOS-terminated). Here: prefill + `lax.scan` with a done-flag; tokens
+    after EOS are emitted as EOS, matching HF's pad_token_id=eos semantics.
+
+Static shapes throughout: prompts are left-padded to a bucket length by the
+caller; the KV cache is preallocated at prompt_len + budget.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from plangen_tpu.config import PlanGenModelConfig
+from plangen_tpu.models import llama, vlm
+from plangen_tpu.ops.sampling import apply_teacher_forcing, cfg_combine, sample_categorical
+from plangen_tpu.runtime.kvcache import init_kv_cache
+
+Params = Dict[str, Any]
+
+
+def prefill(
+    params: Params,
+    cfg: PlanGenModelConfig,
+    inputs_embeds: jax.Array,  # [B, L, H]
+    attn_mask: jax.Array,  # [B, S_max]
+    cache,
+) -> Tuple[jax.Array, Any]:
+    """Run the prompt through the decoder, filling cache slots [0, L).
+
+    Returns (last_hidden [B, H], cache). The full-length `attn_mask` covers
+    the whole cache; positions >= L are causally invisible to prompt queries.
+    """
+    L = inputs_embeds.shape[1]
+    positions = jnp.arange(L, dtype=jnp.int32)
+    hidden, cache = llama.forward(
+        params["language_model"],
+        cfg.llama,
+        inputs_embeds,
+        attn_mask,
+        positions=positions,
+        kv_cache=cache,
+    )
+    return hidden[:, -1], cache
+
+
+class ImageGenResult(NamedTuple):
+    tokens: jax.Array  # [B, N] int32 VQ code ids
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "num_tokens"),
+    donate_argnames=(),
+)
+def generate_image_tokens(
+    params: Params,
+    cfg: PlanGenModelConfig,
+    cfg_embeds: jax.Array,  # [2B, L, H] interleaved cond/uncond prompt embeds
+    attn_mask: jax.Array,  # [2B, L + num_tokens] pad mask (image region = 1)
+    rng: jax.Array,
+    cfg_weight: jax.Array,  # scalar
+    temperature: jax.Array,  # scalar
+    gt_tokens: Optional[jax.Array] = None,  # [B, num_tokens] for teacher forcing
+    regen_mask: Optional[jax.Array] = None,  # [B, num_tokens] 1 = sample
+    num_tokens: int = 576,
+) -> ImageGenResult:
+    """Fused CFG image-token generation: prefill + 576-step scan in one program.
+
+    Matches reference t2i/sample_image semantics (plangen_base.py:525-607):
+    step logits = gen_head(last hidden); cfg = uncond + w*(cond - uncond);
+    softmax(logits/T) sampling; optional teacher forcing where regen_mask==0;
+    the sampled token is fed back through gen_embed+gen_aligner to BOTH rows
+    of its cond/uncond pair.
+    """
+    B2, L, H = cfg_embeds.shape
+    B = B2 // 2
+    S_max = L + num_tokens
+    cache = init_kv_cache(cfg.llama, B2, S_max, dtype=cfg_embeds.dtype)
+
+    last_hidden, cache = prefill(params, cfg, cfg_embeds, attn_mask, cache)
+
+    if gt_tokens is None:
+        gt_tokens = jnp.zeros((B, num_tokens), dtype=jnp.int32)
+        regen_mask = jnp.ones((B, num_tokens), dtype=jnp.int32)
+    assert regen_mask is not None
+
+    def step(carry, i):
+        last_hidden, cache, key = carry
+        logits = vlm.image_gen_logits(params, last_hidden)  # [2B, V] fp32
+        combined = cfg_combine(logits, cfg_weight)  # [B, V]
+        key, sub = jax.random.split(key)
+        token = sample_categorical(sub, combined, temperature)  # [B]
+        token = apply_teacher_forcing(token, gt_tokens[:, i], regen_mask[:, i])
+        # duplicate for cond/uncond rows (plangen_base.py:602-604)
+        pair_token = jnp.repeat(token, 2, axis=0)  # [2B]
+        next_embeds = vlm.gen_img_embeds(params, pair_token[:, None])  # [2B, 1, H]
+        next_embeds = next_embeds.astype(cfg_embeds.dtype)
+        pos = jnp.array([L + i], dtype=jnp.int32)
+        hidden, new_cache = llama.forward(
+            params["language_model"],
+            cfg.llama,
+            next_embeds,
+            attn_mask,
+            positions=pos,
+            kv_cache=cache,
+        )
+        return (hidden[:, -1], new_cache, key), token
+
+    (_, _, _), tokens = jax.lax.scan(
+        step,
+        (last_hidden, cache, rng),
+        jnp.arange(num_tokens, dtype=jnp.int32),
+    )
+    return ImageGenResult(tokens=tokens.T)  # [B, N]
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def greedy_decode_text(
+    params: Params,
+    cfg: PlanGenModelConfig,
+    inputs_embeds: jax.Array,  # [B, L, H]
+    attn_mask: jax.Array,  # [B, L + max_new_tokens]
+    eos_id: jax.Array,  # scalar int32
+    max_new_tokens: int = 512,
+) -> jax.Array:
+    """Greedy KV-cached text decode; rows that hit EOS keep emitting EOS.
+
+    Matches x2t (plangen_base.py:513-523): greedy over lm_head, pad with EOS.
+    Returns [B, max_new_tokens] int32.
+    """
+    B, L, H = inputs_embeds.shape
+    S_max = L + max_new_tokens
+    cache = init_kv_cache(cfg.llama, B, S_max, dtype=inputs_embeds.dtype)
+    last_hidden, cache = prefill(params, cfg, inputs_embeds, attn_mask, cache)
+
+    def step(carry, i):
+        last_hidden, cache, done = carry
+        logits = llama.lm_head(params["language_model"], last_hidden)  # [B, V] fp32
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        token = jnp.where(done, eos_id, token)
+        done = done | (token == eos_id)
+        next_embeds = vlm.embed_text(params, token[:, None]).astype(
+            inputs_embeds.dtype
+        )
+        pos = jnp.array([L + i], dtype=jnp.int32)
+        hidden, new_cache = llama.forward(
+            params["language_model"],
+            cfg.llama,
+            next_embeds,
+            attn_mask,
+            positions=pos,
+            kv_cache=cache,
+        )
+        return (hidden[:, -1], new_cache, done), token
+
+    done0 = jnp.zeros((B,), dtype=bool)
+    (_, _, _), tokens = jax.lax.scan(
+        step, (last_hidden, cache, done0), jnp.arange(max_new_tokens, dtype=jnp.int32)
+    )
+    return tokens.T  # [B, max_new]

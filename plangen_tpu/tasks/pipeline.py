@@ -1,0 +1,236 @@
+"""The five PlanGen task modes as thin drivers over the fused runtime.
+
+Reference orchestration: `System.uni_generate` / `validation`
+(plangen_base.py:327-458, 1087-1181). Modes:
+
+  * layout2image ('uni')      — GT grounding conditions the image decode.
+  * joint ('uni_2stage')      — stage-1 greedy layout decode, then image.
+  * understanding ('mmu')     — SigLIP-spliced prompt, greedy layout decode.
+  * planning ('plan')         — text-only stage-1 layout decode.
+  * edit / removal            — teacher-forced image decode with edit_region;
+                                removal adds per-sample negative grounding
+                                (use_neg_box) at the removed box.
+
+Device work is three jitted programs (stage-1 text decode, CFG image decode,
+VQ detokenize) + one jitted VQ encode for teacher forcing. Everything else is
+host-side numpy batch construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plangen_tpu.config import GenerationConfig, PlanGenModelConfig
+from plangen_tpu.models import vlm, vq
+from plangen_tpu.runtime.generate import generate_image_tokens, greedy_decode_text
+from plangen_tpu.tasks.processor import PlanGenProcessor
+from plangen_tpu.text.grounding import truncate_grounding
+
+Params = Dict[str, Any]
+
+
+@partial(jax.jit, static_argnames=("cfg", "grid"))
+def _vq_decode(params: Params, cfg: PlanGenModelConfig, tokens, grid: int):
+    return vq.decode_code(params["gen_vision_model"], cfg.vq, tokens, (grid, grid))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _vq_encode(params: Params, cfg: PlanGenModelConfig, images):
+    return vq.encode_to_indices(params["gen_vision_model"], cfg.vq, images)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _embed_ids(params: Params, cfg: PlanGenModelConfig, ids):
+    return vlm.embed_text(params, ids)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _mmu_embeds(params: Params, cfg: PlanGenModelConfig, ids, images, seq_mask):
+    return vlm.prepare_inputs_embeds(params, cfg, ids, images, seq_mask)
+
+
+@dataclass
+class GenerationOutput:
+    images: Optional[np.ndarray] = None  # [B*, H, W, 3] float in [-1, 1]
+    image_tokens: Optional[np.ndarray] = None  # [B*, 576]
+    groundings: Optional[List[str]] = None  # predicted layout strings
+    texts: Optional[List[str]] = None  # raw decoded texts (mmu)
+    edit_mask: Optional[np.ndarray] = None  # [B, 576] regen mask used
+
+
+class PlanGenPipeline:
+    def __init__(
+        self,
+        params: Params,
+        model_cfg: PlanGenModelConfig,
+        processor: PlanGenProcessor,
+        gen_cfg: Optional[GenerationConfig] = None,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = model_cfg
+        self.proc = processor
+        self.gen = gen_cfg or processor.gen
+        self.dtype = compute_dtype
+        # image-token grid is defined by the VQ downsampling (24 at 384px);
+        # equals the SigLIP patch grid for the real config (both 16x)
+        self.grid = model_cfg.vision.image_size // model_cfg.vq.downsample_factor
+
+    # ------------------------------------------------------------------ plan
+
+    def plan(self, captions: Sequence[str]) -> List[str]:
+        """Text -> layout grounding strings (task 'plan'; reference
+        uni_generate pred_layout branch, plangen_base.py:363-377)."""
+        budget = self.gen.max_new_text_tokens
+        ids, mask = self.proc.stage1_batch(list(captions), budget)
+        embeds = _embed_ids(self.params, self.cfg, jnp.asarray(ids)).astype(self.dtype)
+        tokens = greedy_decode_text(
+            self.params,
+            self.cfg,
+            embeds,
+            jnp.asarray(mask),
+            jnp.int32(self.proc.tok.special.eos_id),
+            max_new_tokens=budget,
+        )
+        texts = self.proc.decode_until_eos(np.asarray(tokens))
+        return [truncate_grounding(t) for t in texts]
+
+    # ------------------------------------------------------------------- mmu
+
+    def understand(
+        self, images: np.ndarray, question: Optional[str] = None
+    ) -> GenerationOutput:
+        """Image -> caption + layout description (task 'mmu';
+        reference uni_generate is_mmu branch, plangen_base.py:364-372)."""
+        B = images.shape[0]
+        budget = self.gen.max_new_text_tokens
+        kwargs = {} if question is None else {"question": question}
+        batch = self.proc.mmu_batch(B, decode_budget=budget, **kwargs)
+        embeds = _mmu_embeds(
+            self.params,
+            self.cfg,
+            jnp.asarray(batch.input_ids),
+            jnp.asarray(images, dtype=self.dtype),
+            jnp.asarray(batch.images_seq_mask),
+        ).astype(self.dtype)
+        tokens = greedy_decode_text(
+            self.params,
+            self.cfg,
+            embeds,
+            jnp.asarray(batch.attn_mask),
+            jnp.int32(self.proc.tok.special.eos_id),
+            max_new_tokens=budget,
+        )
+        texts = self.proc.decode_until_eos(np.asarray(tokens))
+        return GenerationOutput(texts=texts, groundings=texts)
+
+    # ---------------------------------------------------------- layout2image
+
+    def layout_to_image(
+        self,
+        captions: Sequence[str],
+        groundings: Sequence[str],
+        neg_captions: Optional[Sequence[str]] = None,
+        neg_groundings: Optional[Sequence[str]] = None,
+        gt_images: Optional[np.ndarray] = None,
+        edit_region: Optional[np.ndarray] = None,
+        seed: Optional[int] = None,
+        parallel_size: Optional[int] = None,
+        teacher_forcing: Optional[bool] = None,
+    ) -> GenerationOutput:
+        """Layout-conditioned image generation (task 'uni'), also the engine
+        for edit/removal when `gt_images` + `edit_region` are given
+        (teacher forcing, plangen_base.py:593-598)."""
+        ps = parallel_size or self.gen.parallel_size
+        captions = list(captions)
+        ids, mask = self.proc.uni_batch(captions, list(groundings))
+        cfg_ids, cfg_mask = self.proc.cfg_batch(
+            ids, mask, neg_captions, neg_groundings, parallel_size=ps
+        )
+        B = len(captions) * ps
+        n_img = self.cfg.image_seq_len
+
+        gt_tokens = None
+        regen = None
+        edit_mask_out = None
+        if teacher_forcing is None:
+            teacher_forcing = self.gen.use_teacher_forcing
+        if gt_images is not None and teacher_forcing:
+            gt_tok = _vq_encode(
+                self.params, self.cfg, jnp.asarray(gt_images, dtype=self.dtype)
+            )
+            if edit_region is None:
+                edit_region = np.zeros((len(captions), n_img), dtype=np.int32)
+            gt_tokens = jnp.asarray(np.concatenate([np.asarray(gt_tok)] * ps, axis=0))
+            regen = jnp.asarray(
+                np.concatenate([np.asarray(edit_region, dtype=np.int32)] * ps, axis=0)
+            )
+            edit_mask_out = np.asarray(regen)
+
+        embeds = _embed_ids(self.params, self.cfg, jnp.asarray(cfg_ids)).astype(
+            self.dtype
+        )
+        rng = jax.random.PRNGKey(self.gen.seed if seed is None else seed)
+        result = generate_image_tokens(
+            self.params,
+            self.cfg,
+            embeds,
+            jnp.asarray(cfg_mask),
+            rng=rng,
+            cfg_weight=jnp.float32(self.gen.cfg_weight),
+            temperature=jnp.float32(self.gen.temperature),
+            gt_tokens=gt_tokens,
+            regen_mask=regen,
+            num_tokens=n_img,
+        )
+        images = _vq_decode(self.params, self.cfg, result.tokens, self.grid)
+        return GenerationOutput(
+            images=np.asarray(images, dtype=np.float32),
+            image_tokens=np.asarray(result.tokens),
+            groundings=list(groundings),
+            edit_mask=edit_mask_out,
+        )
+
+    # ------------------------------------------------------------ uni_2stage
+
+    def joint_generate(
+        self, captions: Sequence[str], seed: Optional[int] = None
+    ) -> GenerationOutput:
+        """Plan the layout, then generate the image conditioned on it
+        (task 'uni_2stage'; reference plangen_base.py:363-390)."""
+        groundings = self.plan(captions)
+        out = self.layout_to_image(captions, groundings, seed=seed)
+        out.groundings = groundings
+        return out
+
+    # ---------------------------------------------------------- edit/removal
+
+    def edit_image(
+        self,
+        captions: Sequence[str],
+        groundings: Sequence[str],
+        gt_images: np.ndarray,
+        edit_region: np.ndarray,  # [B, 576] 1 = regenerate
+        neg_captions: Optional[Sequence[str]] = None,
+        neg_groundings: Optional[Sequence[str]] = None,
+        seed: Optional[int] = None,
+    ) -> GenerationOutput:
+        """Layout-guided editing / object removal: background tokens frozen to
+        the GT encoding, edit region re-sampled under the (possibly negative-
+        grounded) CFG prompt. Reference flow §3.5 (SURVEY.md)."""
+        return self.layout_to_image(
+            captions,
+            groundings,
+            neg_captions=neg_captions,
+            neg_groundings=neg_groundings,
+            gt_images=gt_images,
+            edit_region=edit_region,
+            seed=seed,
+            teacher_forcing=True,
+        )

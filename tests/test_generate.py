@@ -1,0 +1,164 @@
+"""Runtime decode-loop tests: the fused KV-cached scan must match a naive
+full-forward-per-step implementation exactly (greedy / teacher-forced paths
+are deterministic — the parity protocol of SURVEY.md §7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plangen_tpu.config import PlanGenModelConfig
+from plangen_tpu.models import llama, vlm
+from plangen_tpu.ops.sampling import cfg_combine
+from plangen_tpu.runtime.generate import generate_image_tokens, greedy_decode_text
+
+TINY = PlanGenModelConfig.tiny()
+KEY = jax.random.PRNGKey(0)
+F32 = jnp.float32
+N_IMG = 8  # small token budget for the loop tests
+
+
+def naive_image_generate(params, cfg, cfg_embeds, pad_mask, cfg_weight, num_tokens):
+    """Reference loop: full re-forward over the growing sequence each step,
+    greedy (argmax of the CFG-combined logits)."""
+    B2, L, H = cfg_embeds.shape
+    B = B2 // 2
+    embeds = cfg_embeds
+    tokens = []
+    for i in range(num_tokens):
+        mask = pad_mask[:, : L + i]
+        hidden, _ = llama.forward(params["language_model"], cfg.llama, embeds, mask)
+        logits = vlm.image_gen_logits(params, hidden[:, -1])
+        combined = cfg_combine(logits, cfg_weight)
+        tok = jnp.argmax(combined, axis=-1).astype(jnp.int32)
+        tokens.append(tok)
+        pair = jnp.repeat(tok, 2, axis=0)
+        nxt = vlm.gen_img_embeds(params, pair[:, None]).astype(embeds.dtype)
+        embeds = jnp.concatenate([embeds, nxt], axis=1)
+    return jnp.stack(tokens, axis=1)  # [B, N]
+
+
+class TestImageGeneration:
+    def setup_method(self):
+        self.params = vlm.init(KEY, TINY, dtype=F32)
+        B, L = 2, 6
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2 * B, L), 0, 100)
+        self.embeds = vlm.embed_text(self.params, ids).astype(F32)
+        mask = np.ones((2 * B, L + N_IMG), dtype=np.int32)
+        mask[1, 0] = 0  # one left-padded uncond row
+        self.mask = jnp.asarray(mask)
+        self.B, self.L = B, L
+
+    def test_teacher_forced_exact(self):
+        gt = jax.random.randint(KEY, (self.B, N_IMG), 0, TINY.image_token_size)
+        regen = jnp.zeros((self.B, N_IMG), dtype=jnp.int32)
+        out = generate_image_tokens(
+            self.params,
+            TINY,
+            self.embeds,
+            self.mask,
+            rng=KEY,
+            cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(1.0),
+            gt_tokens=gt,
+            regen_mask=regen,
+            num_tokens=N_IMG,
+        )
+        np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(gt))
+
+    def test_greedy_matches_naive(self):
+        out = generate_image_tokens(
+            self.params,
+            TINY,
+            self.embeds,
+            self.mask,
+            rng=KEY,
+            cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(0.0),  # greedy
+            num_tokens=N_IMG,
+        )
+        ref = naive_image_generate(
+            self.params, TINY, self.embeds, self.mask, 5.0, N_IMG
+        )
+        np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref))
+
+    def test_sampled_tokens_in_range(self):
+        out = generate_image_tokens(
+            self.params,
+            TINY,
+            self.embeds,
+            self.mask,
+            rng=KEY,
+            cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(1.0),
+            num_tokens=N_IMG,
+        )
+        t = np.asarray(out.tokens)
+        assert t.shape == (self.B, N_IMG)
+        assert (t >= 0).all() and (t < TINY.image_token_size).all()
+
+    def test_partial_teacher_forcing(self):
+        """regen_mask=0 positions must carry gt; ==1 may differ."""
+        gt = jax.random.randint(KEY, (self.B, N_IMG), 0, TINY.image_token_size)
+        regen = jnp.asarray(
+            np.tile(np.array([0, 1] * (N_IMG // 2), dtype=np.int32), (self.B, 1))
+        )
+        out = generate_image_tokens(
+            self.params,
+            TINY,
+            self.embeds,
+            self.mask,
+            rng=KEY,
+            cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(1.0),
+            gt_tokens=gt,
+            regen_mask=regen,
+            num_tokens=N_IMG,
+        )
+        t = np.asarray(out.tokens)
+        g = np.asarray(gt)
+        frozen = np.asarray(regen) == 0
+        np.testing.assert_array_equal(t[frozen], g[frozen])
+
+
+class TestTextDecode:
+    def test_greedy_matches_naive(self):
+        params = vlm.init(KEY, TINY, dtype=F32)
+        B, L, N = 2, 5, 6
+        ids = jax.random.randint(jax.random.PRNGKey(7), (B, L), 0, 100)
+        embeds = vlm.embed_text(params, ids).astype(F32)
+        mask = jnp.ones((B, L + N), dtype=jnp.int32)
+        eos = jnp.int32(1)
+
+        out = greedy_decode_text(params, TINY, embeds, mask, eos, max_new_tokens=N)
+
+        # naive
+        cur = embeds
+        toks = []
+        done = np.zeros((B,), dtype=bool)
+        for i in range(N):
+            hidden, _ = llama.forward(
+                params["language_model"], TINY.llama, cur, mask[:, : L + i]
+            )
+            logits = llama.lm_head(params["language_model"], hidden[:, -1])
+            tok = np.asarray(jnp.argmax(logits, axis=-1), dtype=np.int32)
+            tok = np.where(done, 1, tok)
+            done = done | (tok == 1)
+            toks.append(tok)
+            nxt = vlm.embed_text(params, jnp.asarray(tok)[:, None]).astype(F32)
+            cur = jnp.concatenate([cur, nxt], axis=1)
+        ref = np.stack(toks, axis=1)
+        np.testing.assert_array_equal(np.asarray(out), ref)
+
+    def test_eos_padding(self):
+        """After a row emits EOS, all later tokens are EOS."""
+        params = vlm.init(KEY, TINY, dtype=F32)
+        B, L, N = 1, 4, 10
+        ids = jnp.zeros((B, L), dtype=jnp.int32)
+        embeds = vlm.embed_text(params, ids).astype(F32)
+        mask = jnp.ones((B, L + N), dtype=jnp.int32)
+        out = np.asarray(
+            greedy_decode_text(params, TINY, embeds, mask, jnp.int32(1), max_new_tokens=N)
+        )
+        hit = np.where(out[0] == 1)[0]
+        if len(hit):
+            assert (out[0, hit[0] :] == 1).all()

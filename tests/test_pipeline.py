@@ -1,0 +1,113 @@
+"""End-to-end pipeline tests: all five task modes on the tiny model (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plangen_tpu.config import GenerationConfig, PlanGenModelConfig
+from plangen_tpu.data.preprocess import build_edit_region
+from plangen_tpu.models import vlm
+from plangen_tpu.tasks.pipeline import PlanGenPipeline
+from plangen_tpu.tasks.processor import PlanGenProcessor
+from plangen_tpu.text.tokenizer import ByteFallbackTokenizer
+
+TINY = PlanGenModelConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    tok = ByteFallbackTokenizer(vocab_size=TINY.llama.vocab_size)
+    proc = PlanGenProcessor(
+        tok,
+        image_tokens=TINY.image_seq_len,
+        gen=GenerationConfig(max_new_text_tokens=8, image_tokens=TINY.image_seq_len),
+    )
+    params = vlm.init(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+    return PlanGenPipeline(params, TINY, proc, compute_dtype=jnp.float32)
+
+
+def _image_batch(b):
+    k = jax.random.PRNGKey(1)
+    size = TINY.vision.image_size
+    return np.asarray(
+        jax.random.uniform(k, (b, size, size, 3), minval=-1.0, maxval=1.0)
+    )
+
+
+class TestModes:
+    def test_plan(self, pipeline):
+        out = pipeline.plan(["a cat and a dog", "two cars"])
+        assert len(out) == 2
+        for g in out:
+            assert g.startswith("<grounding>") and g.endswith("</grounding>")
+
+    def test_mmu(self, pipeline):
+        out = pipeline.understand(_image_batch(2))
+        assert len(out.texts) == 2
+
+    def test_layout_to_image(self, pipeline):
+        g = "<grounding><ref>cat</ref><box>[100, 100, 500, 500]</box></grounding>"
+        out = pipeline.layout_to_image(["a cat"], [g])
+        size = TINY.vision.image_size
+        assert out.images.shape == (1, size, size, 3)
+        assert out.image_tokens.shape == (1, TINY.image_seq_len)
+        assert np.isfinite(out.images).all()
+
+    def test_joint_generate(self, pipeline):
+        out = pipeline.joint_generate(["a bird on a tree"])
+        assert out.images is not None and len(out.groundings) == 1
+
+    def test_edit_teacher_forcing_freezes_background(self, pipeline):
+        """All-zero edit_region => generated tokens == VQ(gt image) exactly."""
+        from plangen_tpu.tasks.pipeline import _vq_encode
+
+        gt = _image_batch(1)
+        region = np.zeros((1, TINY.image_seq_len), dtype=np.int32)
+        g = "<grounding><ref>x</ref><box>[0, 0, 500, 500]</box></grounding>"
+        out = pipeline.edit_image(["scene"], [g], gt, region)
+        gt_tok = np.asarray(_vq_encode(pipeline.params, TINY, jnp.asarray(gt)))
+        np.testing.assert_array_equal(out.image_tokens, gt_tok)
+
+    def test_removal_with_neg_grounding(self, pipeline):
+        gt = _image_batch(1)
+        region = build_edit_region(
+            np.array([[0.25, 0.25, 0.75, 0.75]]), grid=2, pad_edit_box=0.1
+        )[None]
+        neg_g = "<grounding><ref>clutter</ref><box>[250, 250, 750, 750]</box></grounding>"
+        out = pipeline.edit_image(
+            ["empty scene"],
+            ["scene"],
+            gt,
+            region,
+            neg_captions=["low quality"],
+            neg_groundings=[neg_g],
+        )
+        assert out.images.shape[0] == 1
+
+    def test_parallel_size(self, pipeline):
+        g = "<grounding><ref>cat</ref><box>[1, 2, 3, 4]</box></grounding>"
+        out = pipeline.layout_to_image(["a cat"], [g], parallel_size=2)
+        assert out.images.shape[0] == 2
+
+    def test_seed_determinism(self, pipeline):
+        g = "<grounding><ref>dog</ref><box>[1, 2, 3, 4]</box></grounding>"
+        a = pipeline.layout_to_image(["a dog"], [g], seed=7)
+        b = pipeline.layout_to_image(["a dog"], [g], seed=7)
+        c = pipeline.layout_to_image(["a dog"], [g], seed=8)
+        np.testing.assert_array_equal(a.image_tokens, b.image_tokens)
+        assert not np.array_equal(a.image_tokens, c.image_tokens)
+
+
+class TestEditRegion:
+    def test_build_edit_region(self):
+        r = build_edit_region(np.array([[0.0, 0.0, 0.5, 0.5]]), grid=24)
+        r = r.reshape(24, 24)
+        assert r[:12, :12].all() and not r[12:, 12:].any()
+
+    def test_dilation(self):
+        r0 = build_edit_region(np.array([[0.4, 0.4, 0.6, 0.6]]), grid=24)
+        r1 = build_edit_region(
+            np.array([[0.4, 0.4, 0.6, 0.6]]), grid=24, pad_edit_box=0.5
+        )
+        assert r1.sum() > r0.sum()
