@@ -1,0 +1,89 @@
+"""Headline benchmark: image-tokens/sec/chip for 576-token 384px generation.
+
+Runs the fused CFG image-token decode (prefill + 576-step lax.scan, dual
+cond/uncond batch) on full Janus-Pro-1B dims in bf16 on the default device
+(the real TPU chip under the driver), then prints ONE JSON line.
+
+Baseline: the reference publishes no numbers (BASELINE.md). `vs_baseline`
+is computed against REF_TOKENS_PER_SEC, an estimate of the reference's
+single-GPU rate: the reference decode is a Python loop over HF module calls
+(plangen_base.py:567-607) at roughly 25-30 ms/step on the documented RTX 3090
+(README.md:26) -> ~576 tokens / 16 s ~= 34 image-tokens/s for batch 1.
+Replace with a measured number when reference hardware is available.
+
+Env knobs: BENCH_BATCH (default 4 images), BENCH_PROMPT_LEN (default 64),
+BENCH_REPEATS (default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+REF_TOKENS_PER_SEC = 34.0  # documented estimate, see module docstring
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from plangen_tpu.config import PlanGenModelConfig
+    from plangen_tpu.models import vlm
+    from plangen_tpu.runtime.generate import generate_image_tokens
+
+    B = int(os.environ.get("BENCH_BATCH", "4"))
+    L = int(os.environ.get("BENCH_PROMPT_LEN", "64"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+
+    cfg = PlanGenModelConfig()
+    n_img = cfg.image_seq_len  # 576
+
+    key = jax.random.PRNGKey(0)
+    params = vlm.init(key, cfg, dtype=jnp.bfloat16)
+
+    cfg_embeds = jax.random.normal(
+        jax.random.PRNGKey(1), (2 * B, L, cfg.llama.hidden_size), dtype=jnp.bfloat16
+    )
+    mask = jnp.ones((2 * B, L + n_img), dtype=jnp.int32)
+
+    def run(seed):
+        out = generate_image_tokens(
+            params,
+            cfg,
+            cfg_embeds,
+            mask,
+            rng=jax.random.PRNGKey(seed),
+            cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(1.0),
+            num_tokens=n_img,
+        )
+        return out.tokens.block_until_ready()
+
+    run(0)  # compile
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(i + 1)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    tokens_per_sec = B * n_img / best
+
+    print(
+        json.dumps(
+            {
+                "metric": "image-tokens/sec/chip (576-tok 384px gen, CFG dual batch)",
+                "value": round(tokens_per_sec, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(tokens_per_sec / REF_TOKENS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

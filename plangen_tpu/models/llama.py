@@ -6,6 +6,13 @@ DeepSeek-LLM-1.3B architecture). Parameters are a plain pytree of arrays so
 pjit sharding rules can be attached by path; all ops are static-shape and
 compile to a single XLA program.
 
+TPU-native structure: the 24 decoder layers are STACKED — every weight is one
+array with a leading layer dim [L, ...] and the stack runs as a single
+`lax.scan` over layers. One layer's HLO compiles once instead of 24 times
+(and once instead of 24*576 times inside the decode scan), keeping compile
+times tractable and making sharding rules uniform. The KV cache layout
+[L, B, S, Hkv, D] falls out of the layer scan naturally.
+
 Numerics:
   * RMSNorm in fp32 (HF LlamaRMSNorm upcasts), output cast back.
   * RoPE cos/sin computed in fp32 (HF computes rotary in fp32).
@@ -41,31 +48,33 @@ def _dense(key, in_dim, out_dim, dtype) -> jax.Array:
     return (jax.random.normal(key, (in_dim, out_dim)) * scale).astype(dtype)
 
 
-def init_layer(key: jax.Array, cfg: LlamaConfig, dtype) -> Params:
-    ks = jax.random.split(key, 7)
-    h, qd, kvd, i = cfg.hidden_size, cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
-    return {
-        "input_norm": jnp.ones((h,), dtype=dtype),
-        "post_attn_norm": jnp.ones((h,), dtype=dtype),
-        "q_proj": _dense(ks[0], h, qd, dtype),
-        "k_proj": _dense(ks[1], h, kvd, dtype),
-        "v_proj": _dense(ks[2], h, kvd, dtype),
-        "o_proj": _dense(ks[3], qd, h, dtype),
-        "gate_proj": _dense(ks[4], h, i, dtype),
-        "up_proj": _dense(ks[5], h, i, dtype),
-        "down_proj": _dense(ks[6], i, h, dtype),
-    }
+def _stacked_dense(key, n_layers, in_dim, out_dim, dtype) -> jax.Array:
+    scale = in_dim ** -0.5
+    return (jax.random.normal(key, (n_layers, in_dim, out_dim)) * scale).astype(dtype)
 
 
 def init(key: jax.Array, cfg: LlamaConfig, dtype=jnp.bfloat16) -> Params:
-    keys = jax.random.split(key, cfg.num_layers + 3)
+    ks = jax.random.split(key, 9)
+    L = cfg.num_layers
+    h, qd, kvd, i = cfg.hidden_size, cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
     return {
         "embed_tokens": (
-            jax.random.normal(keys[0], (cfg.vocab_size, cfg.hidden_size)) * 0.02
+            jax.random.normal(ks[0], (cfg.vocab_size, h)) * 0.02
         ).astype(dtype),
-        "final_norm": jnp.ones((cfg.hidden_size,), dtype=dtype),
-        "lm_head": _dense(keys[1], cfg.hidden_size, cfg.vocab_size, dtype),
-        "layers": [init_layer(keys[2 + l], cfg, dtype) for l in range(cfg.num_layers)],
+        "final_norm": jnp.ones((h,), dtype=dtype),
+        "lm_head": _dense(ks[1], h, cfg.vocab_size, dtype),
+        # layer-stacked weights: leading dim = layer index
+        "layers": {
+            "input_norm": jnp.ones((L, h), dtype=dtype),
+            "post_attn_norm": jnp.ones((L, h), dtype=dtype),
+            "q_proj": _stacked_dense(ks[2], L, h, qd, dtype),
+            "k_proj": _stacked_dense(ks[3], L, h, kvd, dtype),
+            "v_proj": _stacked_dense(ks[4], L, h, kvd, dtype),
+            "o_proj": _stacked_dense(ks[5], L, qd, h, dtype),
+            "gate_proj": _stacked_dense(ks[6], L, h, i, dtype),
+            "up_proj": _stacked_dense(ks[7], L, h, i, dtype),
+            "down_proj": _stacked_dense(ks[8], L, i, h, dtype),
+        },
     }
 
 
@@ -168,6 +177,7 @@ def forward(
     positions: Optional[jax.Array] = None,  # [Q] absolute query positions
     kv_cache: Optional[KVCache] = None,  # (k, v) [L, B, S_max, Hkv, D]
     write_at=None,  # scalar cache write offset (== positions[0])
+    remat: bool = False,  # rematerialize each layer (training memory saver)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack (final RMSNorm applied, no head).
 
@@ -179,6 +189,8 @@ def forward(
     `attn_mask` and causality, and the UPDATED cache is returned. This makes
     both prefill (Q = prompt length) and decode (Q = 1) the same code path —
     one jitted program each.
+
+    The layer stack runs as a single `lax.scan` over the stacked layer params.
     """
     B, Q, _ = inputs_embeds.shape
     if positions is None:
@@ -192,15 +204,33 @@ def forward(
     bias = make_causal_bias(attn_mask, positions, kv_positions)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    x = inputs_embeds
-    new_k, new_v = [], []
-    for l, layer_p in enumerate(params["layers"]):
-        layer_cache = None if kv_cache is None else (kv_cache[0][l], kv_cache[1][l])
-        x, updated = _layer(layer_p, cfg, x, bias, cos, sin, layer_cache, write_at)
-        if updated is not None:
-            new_k.append(updated[0])
-            new_v.append(updated[1])
+    layers = params["layers"]
+
+    if kv_cache is None:
+
+        def body(x, layer_p):
+            x, _ = _layer(layer_p, cfg, x, bias, cos, sin, None, write_at)
+            return x, None
+
+        if remat:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, inputs_embeds, layers)
+        out_cache = None
+    else:
+
+        def body(x, scanned):
+            layer_p, k_cache, v_cache = scanned
+            x, updated = _layer(
+                layer_p, cfg, x, bias, cos, sin, (k_cache, v_cache), write_at
+            )
+            return x, updated
+
+        if remat:
+            body = jax.checkpoint(body)
+        x, (new_k, new_v) = jax.lax.scan(
+            body, inputs_embeds, (layers, kv_cache[0], kv_cache[1])
+        )
+        out_cache = (new_k, new_v)
 
     hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    out_cache = (jnp.stack(new_k), jnp.stack(new_v)) if kv_cache is not None else None
     return hidden, out_cache

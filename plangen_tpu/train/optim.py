@@ -1,0 +1,108 @@
+"""Optimizer construction: AdamW + clip + trainable-subset masking.
+
+Reference recipe (cfg/base.py:53-60, train.py:143-155): AdamW lr 5e-5
+betas (0.9, 0.999) eps 1e-8 wd 0.01, grad-clip 1.0, constant schedule with
+optional warmup, gradient accumulation. Tuning modes (plangen_base.py:149-208)
+freeze parameter subtrees:
+
+  all    — everything trainable
+  lm     — language_model only
+  stage1 — aligner + gen_aligner + gen_head
+  stage2 — all but vision_model and gen_vision_model
+  stage3 — all but gen_vision_model        (the released recipe)
+
+Masking uses `optax.masked` over path predicates; frozen params get zero
+updates and are excluded from weight decay. LoRA (reference 'lora' mode via
+peft) is provided separately in plangen_tpu.train.lora.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import optax
+
+from plangen_tpu.config import OptimConfig
+
+TUNING_MODES: Dict[str, Callable[[str], bool]] = {
+    "all": lambda p: True,
+    "lm": lambda p: p.startswith("language_model"),
+    "stage1": lambda p: p.startswith(("aligner", "gen_aligner", "gen_head")),
+    "stage2": lambda p: not p.startswith(("vision_model", "gen_vision_model")),
+    "stage3": lambda p: not p.startswith("gen_vision_model"),
+}
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if isinstance(p, jax.tree_util.DictKey):
+            parts.append(str(p.key))
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def trainable_mask(params: Any, tuning_mode: str) -> Any:
+    """Boolean pytree: True = trainable under the given tuning mode."""
+    if tuning_mode not in TUNING_MODES:
+        raise ValueError(
+            f"unknown tuning_mode {tuning_mode!r}; options: {sorted(TUNING_MODES)}"
+        )
+    pred = TUNING_MODES[tuning_mode]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: pred(_path_str(path)), params
+    )
+
+
+def count_params(params: Any, mask: Any = None) -> Dict[str, int]:
+    """Trainable/frozen param counts (reference param report,
+    base_system.py:203-226)."""
+    sizes = jax.tree_util.tree_map(lambda x: int(x.size), params)
+    total = sum(jax.tree_util.tree_leaves(sizes))
+    if mask is None:
+        return {"total": total, "trainable": total}
+    trainable = sum(
+        s for s, m in zip(
+            jax.tree_util.tree_leaves(sizes), jax.tree_util.tree_leaves(mask)
+        ) if m
+    )
+    return {"total": total, "trainable": trainable}
+
+
+def make_lr_schedule(cfg: OptimConfig) -> optax.Schedule:
+    if cfg.lr_scheduler == "constant":
+        if cfg.lr_warmup_steps > 0:
+            return optax.linear_schedule(
+                0.0, cfg.learning_rate, cfg.lr_warmup_steps
+            )
+        return optax.constant_schedule(cfg.learning_rate)
+    if cfg.lr_scheduler == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.lr_warmup_steps, 1_000_000
+        )
+    raise ValueError(f"unknown lr_scheduler {cfg.lr_scheduler}")
+
+
+def make_optimizer(
+    cfg: OptimConfig, params: Any, tuning_mode: str = "stage3"
+) -> tuple[optax.GradientTransformation, Any]:
+    """Returns (tx, trainable_mask_tree)."""
+    mask = trainable_mask(params, tuning_mode)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            learning_rate=make_lr_schedule(cfg),
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon,
+            weight_decay=cfg.adam_weight_decay,
+        ),
+    )
+    tx = optax.masked(tx, mask)
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx, mask

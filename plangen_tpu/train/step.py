@@ -1,0 +1,137 @@
+"""Multi-task pjit train step.
+
+Reference hot loop (train.py:163-217 + System.forward plangen_base.py:1054-1085):
+one optimizer step = one forward per task flow, weighted loss sum, DDP
+all-reduce, AdamW, clip. Here the whole thing is ONE jitted program over the
+device mesh: XLA inserts psum over the data axis for gradient reduction (the
+NCCL all-reduce equivalent, riding ICI), and all flows' forwards fuse into a
+single compiled step — no per-flow Python dispatch.
+
+Mixed precision: parameters live in fp32 (optimizer master copy) and are cast
+to `compute_dtype` (bf16) inside the loss, matching Accelerate's bf16
+autocast semantics (train.py:58-64); losses are fp32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from plangen_tpu.config import PlanGenModelConfig, TrainConfig
+from plangen_tpu.train.loss import mmu_loss, plan_loss, t2i_loss, uni_loss
+
+Params = Any
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: jax.Array
+
+
+def _cast(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def make_train_step(
+    model_cfg: PlanGenModelConfig,
+    train_cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    pad_id: int,
+    flows: Sequence[Tuple[int, str]],  # (flow_id, task_type)
+    compute_dtype=jnp.bfloat16,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted multi-task train step.
+
+    Batch format per flow (all arrays, data-sharded on dim 0):
+      uni/t2i: {input_ids [B,L], attn_mask [B,L+N], images [B,H,W,3]}
+      mmu:     {input_ids, attn_mask, images, images_seq_mask}
+      plan:    {input_ids, attn_mask}
+
+    Loss weighting matches reference forward (plangen_base.py:1077-1084):
+    per-key `loss_scales[f"{key}_{flow_id}"]` then `plan_lr_scale` on every
+    '*lm*' key.
+    """
+    flows = tuple(flows)
+    scales = dict(train_cfg.loss_scales)
+    plan_lr_scale = train_cfg.plan_lr_scale
+    remat = train_cfg.gradient_checkpointing
+
+    def loss_fn(params, batches):
+        cparams = _cast(params, compute_dtype)
+        loss_dict: Dict[str, jax.Array] = {}
+        for flow_id, task in flows:
+            b = batches[flow_id]
+            if task in ("uni", "t2i"):
+                ld = t2i_loss(
+                    cparams,
+                    model_cfg,
+                    b["input_ids"],
+                    b["attn_mask"],
+                    b["images"].astype(compute_dtype),
+                    pad_id,
+                    is_uni=(task == "uni"),
+                    remat=remat,
+                )
+            elif task == "mmu":
+                ld = mmu_loss(
+                    cparams,
+                    model_cfg,
+                    b["input_ids"],
+                    b["attn_mask"],
+                    b["images"].astype(compute_dtype),
+                    b["images_seq_mask"],
+                    pad_id,
+                    remat=remat,
+                )
+            elif task == "plan":
+                ld = plan_loss(
+                    cparams,
+                    model_cfg,
+                    b["input_ids"],
+                    b["attn_mask"],
+                    pad_id,
+                    remat=remat,
+                )
+            else:
+                raise ValueError(f"unknown task type {task!r}")
+            loss_dict.update({f"{k}_{flow_id}": v for k, v in ld.items()})
+
+        total = jnp.float32(0.0)
+        for k, v in loss_dict.items():
+            v = v * scales.get(k, 1.0)
+            if plan_lr_scale is not None and "lm" in k:
+                v = v * plan_lr_scale
+            loss_dict[k] = v
+            total = total + v
+        return total, loss_dict
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batches):
+        (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batches
+        )
+        grads = _cast(grads, jnp.float32)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_opt_state, state.step + 1)
+        metrics = {"loss": loss, **loss_dict}
+        return new_state, metrics
+
+    return train_step
+
+
+def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        params=_cast(params, jnp.float32),
+        opt_state=tx.init(_cast(params, jnp.float32)),
+        step=jnp.zeros((), dtype=jnp.int32),
+    )

@@ -1,0 +1,305 @@
+"""Weight-converter parity tests.
+
+The decisive check: a tiny HF `LlamaForCausalLM` (the exact module Janus-Pro
+wraps, modeling_vlm.py:219) converted through `convert_state_dict`'s LM path
+must reproduce HF logits bit-close in fp32 — validating RMSNorm, RoPE
+conventions, GQA layout, position-id semantics, and the [out,in]->[in,out]
+transposes in one shot. Conv-layout conversion is validated against
+torch.nn.functional.conv2d directly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from plangen_tpu.config import LlamaConfig, PlanGenModelConfig
+from plangen_tpu.convert.torch_to_jax import _convert_lm, _conv_w
+from plangen_tpu.models import llama
+
+
+def make_hf_llama(cfg: LlamaConfig):
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaForCausalLM
+
+    hf_cfg = HFConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.rms_norm_eps,
+        max_position_embeddings=cfg.max_position_embeddings,
+        attention_bias=False,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(hf_cfg)
+    model.eval()
+    return model
+
+
+TINY_LM = LlamaConfig(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,  # exercise GQA
+    head_dim=16,
+)
+
+
+class TestHFLlamaParity:
+    @pytest.fixture(scope="class")
+    def converted(self):
+        model = make_hf_llama(TINY_LM)
+        sd = {f"language_model.{k}": v for k, v in model.state_dict().items()}
+        params = _convert_lm(sd, PlanGenModelConfig(llama=TINY_LM), "language_model.")
+        params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), params)
+        return model, params
+
+    def test_logits_match(self, converted):
+        model, params = converted
+        ids = np.random.RandomState(0).randint(0, TINY_LM.vocab_size, (2, 7))
+        with torch.no_grad():
+            ref = model(torch.tensor(ids)).logits.numpy()
+        embeds = llama.embed(params, jnp.asarray(ids))
+        hidden, _ = llama.forward(params, TINY_LM, embeds, jnp.ones(ids.shape))
+        ours = np.asarray(llama.lm_head(params, hidden))
+        np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-4)
+
+    def test_left_padded_logits_match(self, converted):
+        """Left-padded batch with attention mask — the PlanGen serving case."""
+        model, params = converted
+        ids = np.array([[9, 9, 5, 6, 7], [1, 2, 3, 4, 5]])
+        mask = np.array([[0, 0, 1, 1, 1], [1, 1, 1, 1, 1]])
+        with torch.no_grad():
+            ref = model(
+                torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).logits.numpy()
+        embeds = llama.embed(params, jnp.asarray(ids))
+        hidden, _ = llama.forward(params, TINY_LM, embeds, jnp.asarray(mask))
+        ours = np.asarray(llama.lm_head(params, hidden))
+        # compare only non-pad positions (pad positions differ by masking conv.)
+        np.testing.assert_allclose(ours[0, 2:], ref[0, 2:], atol=3e-4, rtol=1e-4)
+        np.testing.assert_allclose(ours[1], ref[1], atol=3e-4, rtol=1e-4)
+
+    def test_kv_cached_decode_matches_hf_generate(self, converted):
+        model, params = converted
+        ids = np.random.RandomState(1).randint(0, TINY_LM.vocab_size, (1, 5))
+        n_new = 6
+        with torch.no_grad():
+            ref = model.generate(
+                torch.tensor(ids),
+                max_new_tokens=n_new,
+                do_sample=False,
+                pad_token_id=0,
+            ).numpy()[:, 5:]
+
+        from plangen_tpu.runtime.generate import greedy_decode_text
+
+        # greedy_decode_text needs full params tree shape {language_model: ...}
+        full = {"language_model": params}
+        cfg = PlanGenModelConfig(llama=TINY_LM)
+        embeds = llama.embed(params, jnp.asarray(ids))
+        mask = jnp.ones((1, 5 + n_new), dtype=jnp.int32)
+        # eos that never fires
+        ours = np.asarray(
+            greedy_decode_text(
+                full, cfg, embeds, mask, jnp.int32(-1), max_new_tokens=n_new
+            )
+        )
+        np.testing.assert_array_equal(ours, ref)
+
+
+class TestConvLayout:
+    def test_conv_weight_conversion(self):
+        """OIHW->HWIO conversion: jax NHWC conv == torch NCHW conv."""
+        import torch.nn.functional as F
+
+        rs = np.random.RandomState(0)
+        x = rs.randn(1, 5, 5, 3).astype(np.float32)  # NHWC
+        w = rs.randn(4, 3, 3, 3).astype(np.float32)  # OIHW
+        ref = F.conv2d(
+            torch.tensor(x.transpose(0, 3, 1, 2)), torch.tensor(w), padding=1
+        ).numpy().transpose(0, 2, 3, 1)
+        w_hwio = _conv_w({"w": w}, "w")
+        ours = jax.lax.conv_general_dilated(
+            jnp.asarray(x),
+            jnp.asarray(w_hwio),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+class TestStructure:
+    def test_converted_tree_matches_init_tree(self):
+        """Converted pytree structure must match vlm.init's (so orbax restore
+        and sharding rules apply uniformly). Uses a synthetic state dict built
+        from the expected HF key inventory for the tiny config."""
+        cfg = PlanGenModelConfig.tiny()
+        sd = synth_state_dict(cfg)
+        from plangen_tpu.convert.torch_to_jax import convert_state_dict
+
+        converted = convert_state_dict(sd, cfg)
+        ref = vlm_init_np(cfg)
+        t1 = jax.tree_util.tree_structure(converted)
+        t2 = jax.tree_util.tree_structure(ref)
+        assert t1 == t2, f"\n{t1}\n!=\n{t2}"
+        for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(converted),
+            jax.tree_util.tree_leaves_with_path(ref),
+        ):
+            assert np.asarray(a).shape == np.asarray(b).shape, f"{p1}: {np.asarray(a).shape} vs {np.asarray(b).shape}"
+
+
+def vlm_init_np(cfg):
+    from plangen_tpu.models import vlm
+
+    return jax.tree_util.tree_map(
+        np.asarray, vlm.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    )
+
+
+def synth_state_dict(cfg: PlanGenModelConfig):
+    """Synthesize the HF-side key inventory (zeros) for the tiny config."""
+    sd = {}
+    h, i, qd, kvd = (
+        cfg.llama.hidden_size,
+        cfg.llama.intermediate_size,
+        cfg.llama.q_dim,
+        cfg.llama.kv_dim,
+    )
+    sd["language_model.model.embed_tokens.weight"] = np.zeros((cfg.llama.vocab_size, h))
+    sd["language_model.model.norm.weight"] = np.zeros((h,))
+    sd["language_model.lm_head.weight"] = np.zeros((cfg.llama.vocab_size, h))
+    for l in range(cfg.llama.num_layers):
+        p = f"language_model.model.layers.{l}."
+        sd[p + "input_layernorm.weight"] = np.zeros((h,))
+        sd[p + "post_attention_layernorm.weight"] = np.zeros((h,))
+        sd[p + "self_attn.q_proj.weight"] = np.zeros((qd, h))
+        sd[p + "self_attn.k_proj.weight"] = np.zeros((kvd, h))
+        sd[p + "self_attn.v_proj.weight"] = np.zeros((kvd, h))
+        sd[p + "self_attn.o_proj.weight"] = np.zeros((h, qd))
+        sd[p + "mlp.gate_proj.weight"] = np.zeros((i, h))
+        sd[p + "mlp.up_proj.weight"] = np.zeros((i, h))
+        sd[p + "mlp.down_proj.weight"] = np.zeros((h, i))
+    # vision tower
+    v = cfg.vision
+    p = "vision_model.vision_tower."
+    sd[p + "patch_embed.proj.weight"] = np.zeros((v.width, 3, v.patch_size, v.patch_size))
+    sd[p + "patch_embed.proj.bias"] = np.zeros((v.width,))
+    sd[p + "pos_embed"] = np.zeros((1, v.num_patches, v.width))
+    sd[p + "norm.weight"] = np.zeros((v.width,))
+    sd[p + "norm.bias"] = np.zeros((v.width,))
+    mlp_dim = int(v.width * v.mlp_ratio)
+    for l in range(v.layers):
+        b = f"{p}blocks.{l}."
+        for nm in ["norm1", "norm2"]:
+            sd[b + nm + ".weight"] = np.zeros((v.width,))
+            sd[b + nm + ".bias"] = np.zeros((v.width,))
+        sd[b + "attn.qkv.weight"] = np.zeros((3 * v.width, v.width))
+        sd[b + "attn.qkv.bias"] = np.zeros((3 * v.width,))
+        sd[b + "attn.proj.weight"] = np.zeros((v.width, v.width))
+        sd[b + "attn.proj.bias"] = np.zeros((v.width,))
+        sd[b + "mlp.fc1.weight"] = np.zeros((mlp_dim, v.width))
+        sd[b + "mlp.fc1.bias"] = np.zeros((mlp_dim,))
+        sd[b + "mlp.fc2.weight"] = np.zeros((v.width, mlp_dim))
+        sd[b + "mlp.fc2.bias"] = np.zeros((v.width,))
+    # aligners
+    for name, in_dim in [("aligner", cfg.aligner.input_dim), ("gen_aligner", cfg.gen_aligner.input_dim)]:
+        n = cfg.aligner.n_embed if name == "aligner" else cfg.gen_aligner.n_embed
+        sd[f"{name}.layers.0.weight"] = np.zeros((n, in_dim))
+        sd[f"{name}.layers.0.bias"] = np.zeros((n,))
+        sd[f"{name}.layers.2.weight"] = np.zeros((n, n))
+        sd[f"{name}.layers.2.bias"] = np.zeros((n,))
+    sd["gen_head.output_mlp_projector.weight"] = np.zeros(
+        (cfg.image_token_embed, cfg.llama.hidden_size)
+    )
+    sd["gen_head.output_mlp_projector.bias"] = np.zeros((cfg.image_token_embed,))
+    sd["gen_head.vision_head.weight"] = np.zeros(
+        (cfg.image_token_size, cfg.image_token_embed)
+    )
+    sd["gen_head.vision_head.bias"] = np.zeros((cfg.image_token_size,))
+    sd["gen_embed.weight"] = np.zeros((cfg.image_token_size, cfg.gen_embed_dim))
+    # vq
+    q = cfg.vq
+    g = "gen_vision_model."
+    in_mult = (1,) + tuple(q.ch_mult)
+    sd[g + "quantize.embedding.weight"] = np.zeros((q.codebook_size, q.codebook_dim))
+    sd[g + "quant_conv.weight"] = np.zeros((q.codebook_dim, q.z_channels, 1, 1))
+    sd[g + "quant_conv.bias"] = np.zeros((q.codebook_dim,))
+    sd[g + "post_quant_conv.weight"] = np.zeros((q.z_channels, q.codebook_dim, 1, 1))
+    sd[g + "post_quant_conv.bias"] = np.zeros((q.z_channels,))
+
+    def add_gn(name, c):
+        sd[name + ".weight"] = np.zeros((c,))
+        sd[name + ".bias"] = np.zeros((c,))
+
+    def add_conv(name, cin, cout, k=3):
+        sd[name + ".weight"] = np.zeros((cout, cin, k, k))
+        sd[name + ".bias"] = np.zeros((cout,))
+
+    def add_res(prefix, cin, cout):
+        add_gn(prefix + "norm1", cin)
+        add_conv(prefix + "conv1", cin, cout)
+        add_gn(prefix + "norm2", cout)
+        add_conv(prefix + "conv2", cout, cout)
+        if cin != cout:
+            add_conv(prefix + "nin_shortcut", cin, cout, k=1)
+
+    def add_attn(prefix, c):
+        add_gn(prefix + "norm", c)
+        for nm in ["q", "k", "v", "proj_out"]:
+            add_conv(prefix + nm, c, c, k=1)
+
+    n_levels = len(q.ch_mult)
+    # encoder
+    add_conv(g + "encoder.conv_in", 3, q.ch)
+    c = q.ch
+    for li in range(n_levels):
+        cin = q.ch * in_mult[li]
+        cout = q.ch * q.ch_mult[li]
+        cc = cin
+        for r in range(q.num_res_blocks):
+            add_res(f"{g}encoder.conv_blocks.{li}.res.{r}.", cc, cout)
+            cc = cout
+            if li == n_levels - 1:
+                add_attn(f"{g}encoder.conv_blocks.{li}.attn.{r}.", cc)
+        if li != n_levels - 1:
+            add_conv(f"{g}encoder.conv_blocks.{li}.downsample.conv", cc, cc)
+        c = cc
+    add_res(g + "encoder.mid.0.", c, c)
+    add_attn(g + "encoder.mid.1.", c)
+    add_res(g + "encoder.mid.2.", c, c)
+    add_gn(g + "encoder.norm_out", c)
+    add_conv(g + "encoder.conv_out", c, q.z_channels)
+    # decoder
+    block_in = q.ch * q.ch_mult[-1]
+    add_conv(g + "decoder.conv_in", q.z_channels, block_in)
+    add_res(g + "decoder.mid.0.", block_in, block_in)
+    add_attn(g + "decoder.mid.1.", block_in)
+    add_res(g + "decoder.mid.2.", block_in, block_in)
+    c = block_in
+    for idx, li in enumerate(reversed(range(n_levels))):
+        cout = q.ch * q.ch_mult[li]
+        for r in range(q.num_res_blocks + 1):
+            add_res(f"{g}decoder.conv_blocks.{idx}.res.{r}.", c, cout)
+            c = cout
+            if li == n_levels - 1:
+                add_attn(f"{g}decoder.conv_blocks.{idx}.attn.{r}.", c)
+        if li != 0:
+            add_conv(f"{g}decoder.conv_blocks.{idx}.upsample.conv", c, c)
+    add_gn(g + "decoder.norm_out", c)
+    add_conv(g + "decoder.conv_out", c, q.out_channels)
+    return sd

@@ -1,0 +1,204 @@
+"""Training tests: losses, masking, multi-task step, checkpointing, mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from plangen_tpu.config import OptimConfig, PlanGenModelConfig, TrainConfig
+from plangen_tpu.models import vlm
+from plangen_tpu.train.loss import shift_cross_entropy
+from plangen_tpu.train.optim import count_params, make_optimizer, trainable_mask
+from plangen_tpu.train.step import TrainState, init_train_state, make_train_step
+
+TINY = PlanGenModelConfig.tiny()
+KEY = jax.random.PRNGKey(0)
+PAD = 2
+
+
+def make_batches(B=2, L=8):
+    n = TINY.image_seq_len
+    size = TINY.vision.image_size
+    k = jax.random.PRNGKey(5)
+    ids = jax.random.randint(k, (B, L), 3, 100)
+    img = jax.random.uniform(k, (B, size, size, 3), minval=-1.0, maxval=1.0)
+    seq_mask = np.zeros((B, L), dtype=bool)
+    seq_mask[:, 1 : 1 + n] = True
+    return {
+        0: {  # uni
+            "input_ids": ids,
+            "attn_mask": jnp.ones((B, L + n), dtype=jnp.int32),
+            "images": img,
+        },
+        1: {  # mmu
+            "input_ids": ids,
+            "attn_mask": jnp.ones((B, L), dtype=jnp.int32),
+            "images": img,
+            "images_seq_mask": jnp.asarray(seq_mask),
+        },
+        2: {  # plan
+            "input_ids": ids,
+            "attn_mask": jnp.ones((B, L), dtype=jnp.int32),
+        },
+    }
+
+
+class TestLoss:
+    def test_shift_ce_ignores_pad(self):
+        V = 10
+        logits = jnp.zeros((1, 4, V))
+        labels = jnp.array([[1, 2, PAD, 3]])
+        loss = shift_cross_entropy(logits, labels, PAD)
+        # uniform logits -> log(V) per valid target {2, 3}
+        np.testing.assert_allclose(float(loss), np.log(V), rtol=1e-5)
+
+    def test_shift_ce_perfect_prediction(self):
+        V = 10
+        labels = jnp.array([[1, 2, 3, 4]])
+        logits = jax.nn.one_hot(jnp.array([[2, 3, 4, 0]]), V) * 100.0
+        loss = shift_cross_entropy(logits, labels, PAD)
+        assert float(loss) < 1e-3
+
+
+class TestMasking:
+    def test_stage3_freezes_vq(self):
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        mask = trainable_mask(params, "stage3")
+        assert not any(jax.tree_util.tree_leaves(mask["gen_vision_model"]))
+        assert all(jax.tree_util.tree_leaves(mask["language_model"]))
+
+    def test_stage1_only_aligners(self):
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        mask = trainable_mask(params, "stage1")
+        assert all(jax.tree_util.tree_leaves(mask["aligner"]))
+        assert all(jax.tree_util.tree_leaves(mask["gen_head"]))
+        assert not any(jax.tree_util.tree_leaves(mask["language_model"]))
+
+    def test_count_params(self):
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        mask = trainable_mask(params, "stage3")
+        c = count_params(params, mask)
+        assert 0 < c["trainable"] < c["total"]
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        cfg = TrainConfig(optim=OptimConfig(learning_rate=1e-3))
+        tx, mask = make_optimizer(cfg.optim, params, "stage3")
+        flows = ((0, "uni"), (1, "mmu"), (2, "plan"))
+        # donate=False: tests reuse the same state object across steps
+        step = make_train_step(
+            TINY, cfg, tx, PAD, flows, compute_dtype=jnp.float32, donate=False
+        )
+        state = init_train_state(params, tx)
+        return step, state, mask
+
+    def test_loss_decreases(self, setup):
+        step, state, _ = setup
+        batches = make_batches()
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batches)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+        assert {"loss_uni_t2i_0", "loss_uni_lm_0", "loss_mmu_1", "loss_plan_lm_2"} <= set(
+            metrics
+        )
+
+    def test_frozen_params_unchanged(self, setup):
+        step, state, mask = setup
+        before = jax.tree_util.tree_leaves(state.params["gen_vision_model"])
+        state2, _ = step(state, make_batches())
+        after = jax.tree_util.tree_leaves(state2.params["gen_vision_model"])
+        for b, a in zip(before, after):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+    def test_trainable_params_changed(self, setup):
+        step, state, _ = setup
+        state2, _ = step(state, make_batches())
+        b = np.asarray(state.params["language_model"]["layers"]["q_proj"])
+        a = np.asarray(state2.params["language_model"]["layers"]["q_proj"])
+        assert not np.array_equal(b, a)
+
+    def test_loss_scales(self):
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        cfg = TrainConfig(loss_scales={"loss_plan_lm_2": 0.0})
+        tx, _ = make_optimizer(cfg.optim, params, "stage3")
+        step = make_train_step(
+            TINY, cfg, tx, PAD, ((2, "plan"),), compute_dtype=jnp.float32
+        )
+        state = init_train_state(params, tx)
+        _, metrics = step(state, make_batches())
+        assert float(metrics["loss_plan_lm_2"]) == 0.0
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from plangen_tpu.train.checkpoint import PlanGenCheckpointer
+
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        cfg = TrainConfig()
+        tx, _ = make_optimizer(cfg.optim, params, "stage3")
+        state = init_train_state(params, tx)
+        ckpt = PlanGenCheckpointer(str(tmp_path / "ckpt"), total_limit=2)
+        ckpt.save(5, state)
+        assert ckpt.latest_step() == 5
+        restored = ckpt.restore(state)
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["gen_embed"]), np.asarray(state.params["gen_embed"])
+        )
+        assert int(restored.step) == int(state.step)
+
+    def test_rotation(self, tmp_path):
+        from plangen_tpu.train.checkpoint import PlanGenCheckpointer
+
+        params = {"w": jnp.ones((2, 2))}
+        import optax
+
+        tx = optax.sgd(1e-3)
+        state = TrainState(params, tx.init(params), jnp.int32(0))
+        ckpt = PlanGenCheckpointer(str(tmp_path / "ckpt"), total_limit=2)
+        for s in [1, 2, 3]:
+            ckpt.save(s, state)
+        assert ckpt.latest_step() == 3
+        assert 1 not in ckpt.manager.all_steps()
+
+
+class TestMesh:
+    def test_create_mesh_dp(self):
+        from plangen_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh({"data": -1, "model": 1})
+        assert mesh.shape["data"] == 8
+
+    def test_tp_shardings(self):
+        from plangen_tpu.parallel.mesh import create_mesh, param_shardings
+
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        mesh = create_mesh({"data": 2, "model": 4})
+        sh = param_shardings(params, mesh)
+        q = sh["language_model"]["layers"]["q_proj"]
+        assert q.spec == jax.sharding.PartitionSpec(None, None, "model")
+        vqp = sh["gen_vision_model"]["quant_conv"]["w"]
+        assert vqp.spec == jax.sharding.PartitionSpec()
+
+    def test_dp_train_step_on_mesh(self):
+        """Full multi-task train step over a 4x2 dp x tp mesh (virtual CPU)."""
+        from plangen_tpu.parallel.mesh import batch_sharding, create_mesh, shard_params
+
+        mesh = create_mesh({"data": 4, "model": 2})
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        params = shard_params(params, mesh)
+        cfg = TrainConfig()
+        tx, _ = make_optimizer(cfg.optim, params, "stage3")
+        flows = ((0, "uni"), (1, "mmu"), (2, "plan"))
+        step = make_train_step(TINY, cfg, tx, PAD, flows, compute_dtype=jnp.float32)
+        state = init_train_state(params, tx)
+        batches = make_batches(B=4)
+        bs = batch_sharding(mesh)
+        batches = jax.tree_util.tree_map(lambda x: jax.device_put(x, bs), batches)
+        state, metrics = step(state, batches)
+        assert np.isfinite(float(metrics["loss"]))
