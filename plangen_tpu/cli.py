@@ -1,0 +1,99 @@
+"""CLI entrypoint: train / eval / bench with dotted-key config overrides.
+
+Reference ergonomics: `python train.py --cfg <file> --opt k=v ...`
+(train.py:23-49, mmengine DictAction). Here configs are Python modules
+exporting `CONFIG: PlanGenConfig` (or a dict of overrides applied to the
+default config), and `--opt` fragments deep-merge the same way:
+
+    python -m plangen_tpu.cli train --opt train.max_train_steps=100 \
+        train.train_data='[{"task_type":"uni","data_name":"toy","batch_size":2}]'
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import sys
+from typing import Any, Optional
+
+from plangen_tpu.config import (
+    FlowConfig,
+    PlanGenConfig,
+    apply_overrides,
+    parse_opt_list,
+)
+
+
+def load_config(cfg_path: Optional[str], opts: list) -> PlanGenConfig:
+    cfg = PlanGenConfig()
+    if cfg_path:
+        spec = importlib.util.spec_from_file_location("user_cfg", cfg_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        if hasattr(mod, "CONFIG"):
+            cfg = mod.CONFIG
+        elif hasattr(mod, "OVERRIDES"):
+            cfg = apply_overrides(cfg, mod.OVERRIDES)
+        else:
+            raise ValueError(f"{cfg_path} must export CONFIG or OVERRIDES")
+    if opts:
+        cfg = apply_overrides(cfg, parse_opt_list(opts))
+    # normalize train_data entries given as dicts
+    flows = tuple(
+        f if isinstance(f, FlowConfig) else FlowConfig(**f)
+        for f in cfg.train.train_data
+    )
+    if flows != cfg.train.train_data:
+        cfg = apply_overrides(cfg, {"train.train_data": flows})
+    return cfg
+
+
+def cmd_train(args) -> None:
+    from plangen_tpu.train.trainer import Trainer
+
+    cfg = load_config(args.cfg, args.opt)
+    trainer = Trainer(cfg)
+    metrics = trainer.fit(max_steps=args.max_steps)
+    print(json.dumps({"final": metrics}))
+
+
+def cmd_eval(args) -> None:
+    from plangen_tpu.tasks.eval import run_validation
+
+    cfg = load_config(args.cfg, args.opt)
+    run_validation(
+        cfg,
+        task_type=args.task,
+        data_name=args.data,
+        max_len=args.max_len,
+        output_dir=args.output,
+    )
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="plangen_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train", help="multi-task training")
+    pt.add_argument("--cfg", default=None)
+    pt.add_argument("--opt", nargs="*", default=[])
+    pt.add_argument("--max-steps", type=int, default=None)
+    pt.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser("eval", help="run a task-mode evaluation")
+    pe.add_argument("--cfg", default=None)
+    pe.add_argument("--opt", nargs="*", default=[])
+    pe.add_argument("--task", default="uni",
+                    choices=["uni", "uni_2stage", "mmu", "plan", "edit", "rm", "t2i"])
+    pe.add_argument("--data", default="toy")
+    pe.add_argument("--max-len", type=int, default=20)
+    pe.add_argument("--output", default="out/eval")
+    pe.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

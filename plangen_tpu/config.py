@@ -256,6 +256,16 @@ class PlanGenConfig:
     generation: GenerationConfig = field(default_factory=GenerationConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     janus_path: Optional[str] = None        # local Janus-Pro-1B dir (tokenizer+weights)
+    # dataset roots (reference hardcodes cluster paths, cfg/base.py:12-16;
+    # here they're config fields, None = dataset unavailable)
+    layoutsam_path: Optional[str] = None
+    layoutsam_eval_path: Optional[str] = None
+    coco_root: Optional[str] = None
+    coco_200_path: Optional[str] = None
+    nsr1k_path: Optional[str] = None
+    oim_root: Optional[str] = None
+    oim_class_csv: Optional[str] = None
+    oim_caption_dir: Optional[str] = None
     use_textual: bool = True                # 0-1000 int coords vs <h/w> tokens
     use_special_tokens: bool = True
     use_numhw_tokens: bool = False

@@ -1,0 +1,158 @@
+"""LayoutSAM / LayoutSAM-eval ("creati") loaders.
+
+Behavioral re-implementation of the reference's `BboxDataset_sam`
+(dataset/sam/sam_traindata.py:21-137) + `convert_creati_to_hico`
+(data_hico.py:185-215): stringified box/caption lists parsed with
+literal_eval, boxes normalized by original W/H, eval images bilinear-resized
+square, train images short-side-resize-crop to 384 with canvas box filtering.
+Requires a local HF-datasets copy (zero-egress environment: path-gated).
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+from typing import Optional
+
+import numpy as np
+
+from plangen_tpu.data.preprocess import to_model_range
+from plangen_tpu.data.schema import Sample
+from plangen_tpu.data.transforms import (
+    filter_boxes_canvas,
+    pad_layout_slots,
+    resize_short_side_center_crop,
+    xywh_to_xyxy_norm,
+)
+from plangen_tpu.text.grounding import serialize_grounding
+
+
+def _normalize_xyxy(boxes, w, h):
+    b = np.asarray(boxes, dtype=np.float32).reshape(-1, 4)
+    b[:, 0::2] = np.round(b[:, 0::2] / w, 3)
+    b[:, 1::2] = np.round(b[:, 1::2] / h, 3)
+    return b
+
+
+class LayoutSAMEval:
+    """LayoutSAM-eval test split ('creati'; '1k' = first 1000 samples).
+
+    Reference: data_hico.py:119-123 + sam_traindata.py testset branch.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        image_hw: int = 384,
+        limit: Optional[int] = None,
+        neg_prompt: str = "",
+        use_detail_captions: bool = True,
+    ):
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"LayoutSAM-eval not found at {path}; download "
+                "HuiZhang0812/LayoutSAM-eval and point layoutsam_eval_path at it"
+            )
+        from datasets import load_dataset
+
+        self.ds = load_dataset(path)["test"]
+        self.hw = image_hw
+        self.limit = limit
+        self.neg_prompt = neg_prompt
+        self.use_detail = use_detail_captions
+
+    def __len__(self):
+        n = len(self.ds)
+        return min(n, self.limit) if self.limit else n
+
+    def __getitem__(self, idx: int) -> Sample:
+        item = self.ds[idx]
+        w, h = int(item["width"]), int(item["height"])
+        boxes = ast.literal_eval(item["bbox_list"]) if isinstance(
+            item["bbox_list"], str
+        ) else item["bbox_list"]
+        boxes = _normalize_xyxy(boxes, w, h)
+        caps_key = "detail_region_caption_list" if self.use_detail else "region_caption_list"
+        caps = item[caps_key]
+        if isinstance(caps, str):
+            caps = ast.literal_eval(caps)
+        if any(c is None for c in caps):
+            caps = item["region_caption_list"]
+            if isinstance(caps, str):
+                caps = ast.literal_eval(caps)
+
+        image = item["image"]
+        pil = image.convert("RGB").resize((self.hw, self.hw))
+        img = to_model_range(np.asarray(pil))
+
+        boxes10, classes10, valid = pad_layout_slots(boxes, caps)
+        caption = item["global_caption"]
+        prompt = serialize_grounding(caption, boxes10, classes10, valid)
+        gt_grounding = serialize_grounding("", boxes10, classes10, valid)
+        return Sample(
+            image=img,
+            base_caption=caption,
+            prompt=prompt,
+            gt_grounding=gt_grounding,
+            neg_base_caption=self.neg_prompt,
+            neg_prompt=self.neg_prompt,
+            edit_region=np.zeros((576,), dtype=np.int64),
+            image_id=str(item.get("file_name", idx)),
+            boxes=[tuple(b) for b in boxes10[valid > 0]],
+            classes=[c for c, v in zip(classes10, valid) if v],
+            H=h,
+            W=w,
+        )
+
+
+class LayoutSAMTrain:
+    """LayoutSAM train split: resize-crop to 384 + canvas box filter.
+
+    Reference: sam_traindata.py train branch (:101-120).
+    """
+
+    def __init__(self, path: str, image_hw: int = 384, neg_prompt: str = ""):
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"LayoutSAM not found at {path}")
+        from datasets import load_dataset
+
+        self.ds = load_dataset(path)["train"]
+        self.hw = image_hw
+        self.neg_prompt = neg_prompt
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, idx: int) -> Sample:
+        item = self.ds[idx]
+        image = np.asarray(item["image"].convert("RGB"))
+        w, h = int(item["width"]), int(item["height"])
+        boxes = item["bbox_list"]
+        if isinstance(boxes, str):
+            boxes = ast.literal_eval(boxes)
+        boxes = _normalize_xyxy(boxes, w, h) * [w, h, w, h]
+        caps = item["detail_region_caption_list"]
+        if isinstance(caps, str):
+            caps = ast.literal_eval(caps)
+        # xyxy -> xywh pixel, resize-crop, filter, back to normalized xyxy
+        xywh = boxes.copy()
+        xywh[:, 2] -= xywh[:, 0]
+        xywh[:, 3] -= xywh[:, 1]
+        img, xywh = resize_short_side_center_crop(image, xywh, self.hw)
+        xywh, caps = filter_boxes_canvas(xywh, caps, canvas=self.hw)
+        boxes = xywh_to_xyxy_norm(xywh, self.hw)
+
+        boxes10, classes10, valid = pad_layout_slots(boxes, caps)
+        caption = item["global_caption"]
+        return Sample(
+            image=to_model_range(img),
+            base_caption=caption,
+            prompt=serialize_grounding(caption, boxes10, classes10, valid),
+            gt_grounding=serialize_grounding("", boxes10, classes10, valid),
+            neg_base_caption=self.neg_prompt,
+            neg_prompt=self.neg_prompt,
+            edit_region=np.zeros((576,), dtype=np.int64),
+            image_id=str(idx),
+            H=h,
+            W=w,
+        )

@@ -1,0 +1,111 @@
+"""OpenImages bbox loader.
+
+Behavioral re-implementation of `Dataset_oim` (dataset/oim/data_oim.py:38-157):
+CSV bbox annotations grouped by ImageID, class names via the
+class-descriptions-boxable table, top-10 boxes by area, short-side resize +
+center crop + canvas filter, captions from pre-generated per-image jsonl
+(MiniCPM captions in the reference; '' when missing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from plangen_tpu.data.preprocess import to_model_range
+from plangen_tpu.data.schema import Sample
+from plangen_tpu.data.transforms import (
+    filter_boxes_canvas,
+    pad_layout_slots,
+    resize_short_side_center_crop,
+    xywh_to_xyxy_norm,
+)
+from plangen_tpu.text.grounding import serialize_grounding
+
+
+class OpenImagesDataset:
+    def __init__(
+        self,
+        data_root: str,
+        class_csv: str,
+        split: str = "train",
+        caption_dir: Optional[str] = None,
+        image_hw: int = 384,
+        neg_prompt: str = "",
+    ):
+        import pandas as pd
+
+        ann_names = {
+            "train": "oidv6-train-annotations-bbox.csv",
+            "validation": "validation-annotations-bbox.csv",
+            "test": "test-annotations-bbox.csv",
+        }
+        ann_path = os.path.join(data_root, "anno", ann_names[split])
+        if not os.path.exists(ann_path):
+            raise FileNotFoundError(f"OpenImages annotations not found at {ann_path}")
+        self.df = pd.read_csv(ann_path)
+        names = pd.read_csv(class_csv)
+        self.class_map = names.set_index(names.columns[0])[names.columns[1]].to_dict()
+        self.image_ids = self.df["ImageID"].unique()
+        self.data_root = data_root
+        self.split = split
+        self.caption_dir = caption_dir
+        self.hw = image_hw
+        self.neg_prompt = neg_prompt
+
+    def __len__(self):
+        return len(self.image_ids)
+
+    def __getitem__(self, i: int) -> Sample:
+        from PIL import Image
+
+        image_id = self.image_ids[i]
+        rows = self.df[self.df["ImageID"] == image_id]
+        boxes = np.stack(
+            [rows["XMin"], rows["YMin"], rows["XMax"], rows["YMax"]], axis=-1
+        ).astype(np.float32)
+        try:
+            classes = [self.class_map[t].lower() for t in rows["LabelName"]]
+        except KeyError:
+            return self[(i + 1) % len(self)]  # skip unknown labels
+
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        order = np.argsort(-areas)
+        boxes = boxes[order][:10]
+        classes = [classes[j] for j in order[:10]]
+
+        path = os.path.join(self.data_root, self.split, f"{image_id}.jpg")
+        pil = Image.open(path).convert("RGB")
+        w, h = pil.size
+        xywh = boxes * [w, h, w, h]
+        xywh[:, 2] -= xywh[:, 0]
+        xywh[:, 3] -= xywh[:, 1]
+        img, xywh = resize_short_side_center_crop(np.asarray(pil), xywh, self.hw)
+        xywh, classes = filter_boxes_canvas(xywh, classes, canvas=self.hw)
+        boxes = xywh_to_xyxy_norm(xywh, self.hw)
+
+        caption = ""
+        if self.caption_dir:
+            cap_path = os.path.join(self.caption_dir, f"{image_id}.jsonl")
+            if os.path.exists(cap_path):
+                with open(cap_path) as f:
+                    line = f.readline().strip()
+                    if line:
+                        caption = json.loads(line)
+
+        boxes10, classes10, valid = pad_layout_slots(boxes, classes)
+        return Sample(
+            image=to_model_range(img),
+            base_caption=caption,
+            prompt=serialize_grounding(caption, boxes10, classes10, valid),
+            gt_grounding=serialize_grounding("", boxes10, classes10, valid),
+            neg_base_caption=self.neg_prompt,
+            neg_prompt=self.neg_prompt,
+            edit_region=np.zeros((576,), dtype=np.int64),
+            image_id=str(image_id),
+            H=h,
+            W=w,
+        )

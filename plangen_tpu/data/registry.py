@@ -1,0 +1,138 @@
+"""Dataset registry: name -> constructor, list -> concat.
+
+TPU-native replacement for the reference's `set_dataset.py` registry
+(set_dataset.py:7-122): string names map to dataset factories; a list of
+names concatenates. The reference's dead names (`mb`, `gen` — undefined
+classes, data_hico.py:90,102) and the duplicate `plan_r1` key
+(set_dataset.py:54-59) are not replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Sequence, Union
+
+from plangen_tpu.config import PlanGenConfig
+
+
+class ConcatDataset:
+    def __init__(self, datasets: Sequence[Any]):
+        self.datasets = list(datasets)
+        self._offsets = []
+        total = 0
+        for d in self.datasets:
+            self._offsets.append(total)
+            total += len(d)
+        self._total = total
+
+    def __len__(self):
+        return self._total
+
+    def __getitem__(self, idx: int):
+        for ds, off in zip(reversed(self.datasets), reversed(self._offsets)):
+            if idx >= off:
+                return ds[idx - off]
+        raise IndexError(idx)
+
+
+def _toy(cfg: PlanGenConfig, is_test: bool):
+    from plangen_tpu.data.toy import ToyDataset
+
+    return ToyDataset(size=100, image_hw=cfg.janus_hw, neg_prompt=cfg.generation.neg_prompt)
+
+
+def _layoutsam_eval(cfg, is_test, limit=None):
+    from plangen_tpu.data.layoutsam import LayoutSAMEval
+
+    path = getattr(cfg, "layoutsam_eval_path", None) or ""
+    return LayoutSAMEval(
+        path, image_hw=cfg.janus_hw, limit=limit, neg_prompt=cfg.generation.neg_prompt
+    )
+
+
+def _layoutsam_train(cfg, is_test):
+    from plangen_tpu.data.layoutsam import LayoutSAMEval, LayoutSAMTrain
+
+    if is_test:
+        return _layoutsam_eval(cfg, is_test)
+    path = getattr(cfg, "layoutsam_path", None) or ""
+    return LayoutSAMTrain(path, image_hw=cfg.janus_hw, neg_prompt=cfg.generation.neg_prompt)
+
+
+def _coco(cfg, is_test):
+    from plangen_tpu.data.coco import COCOValDataset
+
+    root = getattr(cfg, "coco_root", None) or ""
+    return COCOValDataset(
+        ann_file=f"{root}/annotations/instances_val2017.json",
+        caption_file=f"{root}/annotations/captions_val2017.json",
+        image_dir=f"{root}/val2017",
+        image_hw=cfg.janus_hw,
+        neg_prompt=cfg.generation.neg_prompt,
+    )
+
+
+def _edit_coco(cfg, is_test):
+    from plangen_tpu.data.coco import EditCoco200
+
+    return EditCoco200(
+        getattr(cfg, "coco_200_path", None) or "",
+        neg_prompt=cfg.generation.neg_prompt,
+        pad_edit_box=cfg.generation.pad_edit_box,
+    )
+
+
+def _rm_coco(cfg, is_test):
+    from plangen_tpu.data.coco import RmCoco200
+
+    return RmCoco200(
+        getattr(cfg, "coco_200_path", None) or "",
+        neg_prompt=cfg.generation.neg_prompt,
+    )
+
+
+def _layout(cfg, is_test):
+    from plangen_tpu.data.layoutgpt import NSR1KLayoutDataset
+
+    return NSR1KLayoutDataset(
+        getattr(cfg, "nsr1k_path", None) or "",
+        neg_prompt=cfg.generation.neg_prompt,
+    )
+
+
+def _oim(cfg, is_test):
+    from plangen_tpu.data.oim import OpenImagesDataset
+
+    return OpenImagesDataset(
+        data_root=getattr(cfg, "oim_root", None) or "",
+        class_csv=getattr(cfg, "oim_class_csv", None) or "",
+        caption_dir=getattr(cfg, "oim_caption_dir", None),
+        image_hw=cfg.janus_hw,
+        neg_prompt=cfg.generation.neg_prompt,
+    )
+
+
+REGISTRY: Dict[str, Callable] = {
+    "toy": _toy,
+    "data_toy": _toy,
+    "creati": _layoutsam_eval,  # LayoutSAM-eval test split
+    "1k": lambda cfg, t: _layoutsam_eval(cfg, t, limit=1000),
+    "sam": _layoutsam_train,
+    "coco": _coco,
+    "edit_coco": _edit_coco,
+    "rm_coco": _rm_coco,
+    "coco_rm": _rm_coco,
+    "layout": _layout,
+    "oim": _oim,
+}
+
+
+def get_dataset(
+    cfg: PlanGenConfig, name: Union[str, List[str]], is_test: bool = False
+):
+    """Build a dataset by registry name; a list of names concatenates
+    (reference set_dataset.py:69-75)."""
+    if isinstance(name, (list, tuple)):
+        return ConcatDataset([get_dataset(cfg, n, is_test) for n in name])
+    if name not in REGISTRY:
+        raise KeyError(f"unknown dataset {name!r}; known: {sorted(REGISTRY)}")
+    return REGISTRY[name](cfg, is_test)

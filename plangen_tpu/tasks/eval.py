@@ -1,0 +1,157 @@
+"""Evaluation harness: drive a task mode over a dataset, write artifacts.
+
+Mirrors the reference's eval-as-test `validation()` output layout
+(plangen_base.py:1087-1181) so external metric tooling (FID / spatial
+accuracy over LayoutSAM-eval) stays compatible:
+
+  <out>/<data>_<task>_<n>/<step>/
+      gt_image/{i}.png   pr_image/{i}.png   image_ids/{id}.jpg
+      gt_image_ids/{id}.jpg
+  <out>/..._batch/{batch}_layout.json       (captions + gt/pred groundings)
+      {batch}.png                           (grid with box overlays)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plangen_tpu.config import PlanGenConfig
+from plangen_tpu.data.registry import get_dataset
+from plangen_tpu.data.schema import Sample
+from plangen_tpu.models import vlm
+from plangen_tpu.tasks.pipeline import PlanGenPipeline
+from plangen_tpu.tasks.processor import PlanGenProcessor
+from plangen_tpu.text.grounding import parse_grounding
+from plangen_tpu.text.tokenizer import load_tokenizer
+from plangen_tpu.utils.visualize import draw_layout, save_image, save_image_grid
+
+
+def build_pipeline(cfg: PlanGenConfig, params=None) -> PlanGenPipeline:
+    tok = load_tokenizer(
+        cfg.janus_path,
+        vocab_size=cfg.model.llama.vocab_size,
+        use_special_tokens=cfg.use_special_tokens,
+        use_numhw=cfg.use_numhw_tokens,
+    )
+    proc = PlanGenProcessor(
+        tok,
+        image_tokens=cfg.model.image_seq_len,
+        max_seq_len=cfg.train.max_seq_len,
+        gen=cfg.generation,
+    )
+    if params is None:
+        params = vlm.init(
+            jax.random.PRNGKey(cfg.generation.seed), cfg.model, dtype=jnp.bfloat16
+        )
+    return PlanGenPipeline(params, cfg.model, proc, gen_cfg=cfg.generation)
+
+
+def run_validation(
+    cfg: PlanGenConfig,
+    task_type: str = "uni",
+    data_name: Any = "toy",
+    max_len: int = 20,
+    output_dir: str = "out/eval",
+    batch_size: int = 2,
+    params=None,
+    global_step: int = 0,
+) -> List[Dict]:
+    pipe = build_pipeline(cfg, params)
+    ds = get_dataset(cfg, data_name, is_test=True)
+
+    base = os.path.join(output_dir, f"{data_name}_{task_type}_{max_len}")
+    path = os.path.join(base, str(global_step))
+    batch_path = os.path.join(base, f"{global_step}_batch")
+    for sub in ["gt_image", "pr_image", "image_ids", "gt_image_ids"]:
+        os.makedirs(os.path.join(path, sub), exist_ok=True)
+    os.makedirs(batch_path, exist_ok=True)
+
+    results = []
+    n_batches = min(max_len, -(-len(ds) // batch_size)) if max_len != -1 else -(
+        -len(ds) // batch_size
+    )
+    for b in range(n_batches):
+        samples = [ds[b * batch_size + i] for i in range(batch_size)
+                   if b * batch_size + i < len(ds)]
+        if not samples:
+            break
+        out = _run_batch(pipe, cfg, task_type, samples)
+        _save_batch_artifacts(
+            out, samples, task_type, path, batch_path, b, batch_size
+        )
+        results.append(out)
+    return results
+
+
+def _run_batch(pipe: PlanGenPipeline, cfg, task_type: str, samples: List[Sample]):
+    captions = [s.base_caption for s in samples]
+    groundings = [s.gt_grounding for s in samples]
+    if task_type == "plan":
+        pr = pipe.plan(captions)
+        return {"pr_grounding": pr, "pr_image": None}
+    if task_type == "mmu":
+        images = np.stack([s.image for s in samples])
+        out = pipe.understand(images)
+        return {"pr_grounding": out.texts, "pr_image": None}
+    if task_type == "uni_2stage":
+        out = pipe.joint_generate(captions)
+        return {"pr_grounding": out.groundings, "pr_image": out.images}
+    if task_type in ("edit", "rm"):
+        images = np.stack([s.image for s in samples])
+        regions = np.stack([s.edit_region for s in samples])
+        neg_caps = [s.neg_base_caption for s in samples]
+        neg_grounds = [s.neg_gt_grounding for s in samples] if task_type == "rm" else None
+        out = pipe.edit_image(
+            captions, groundings, images, regions,
+            neg_captions=neg_caps if task_type == "rm" else None,
+            neg_groundings=neg_grounds,
+        )
+        return {"pr_grounding": groundings, "pr_image": out.images}
+    # 'uni' / 't2i': GT layout conditions the image
+    gt_images = (
+        np.stack([s.image for s in samples])
+        if all(s.image is not None for s in samples)
+        else None
+    )
+    out = pipe.layout_to_image(
+        captions,
+        groundings if task_type == "uni" else [""] * len(captions),
+        gt_images=gt_images,
+    )
+    return {"pr_grounding": groundings, "pr_image": out.images}
+
+
+def _save_batch_artifacts(out, samples, task_type, path, batch_path, b, batch_size):
+    data = {
+        "base_caption": [s.base_caption for s in samples],
+        "gt_grounding": [s.gt_grounding for s in samples],
+        "pr_grounding": out["pr_grounding"],
+    }
+    with open(os.path.join(batch_path, f"{b}_layout.json"), "w") as f:
+        json.dump(data, f, indent=1)
+
+    if out["pr_image"] is None:
+        return
+    vis = []
+    for i, s in enumerate(samples):
+        pr = out["pr_image"][i]
+        save_image(pr, os.path.join(path, "pr_image", f"{b * batch_size + i}.png"))
+        if s.image is not None:
+            save_image(
+                s.image, os.path.join(path, "gt_image", f"{b * batch_size + i}.png")
+            )
+        if s.image_id:
+            save_image(pr, os.path.join(path, "image_ids", f"{s.image_id}.jpg"))
+            if s.image is not None:
+                save_image(
+                    s.image, os.path.join(path, "gt_image_ids", f"{s.image_id}.jpg")
+                )
+        boxes, labels = parse_grounding(out["pr_grounding"][i] or "")
+        vis.append(draw_layout(pr, boxes, labels))
+    save_image_grid(vis, os.path.join(batch_path, f"{b}.png"))

@@ -1,0 +1,147 @@
+"""Training driver: the reference `train.py` main loop, TPU-native.
+
+Reference loop (train.py:51-235): build system + data, resume, AdamW +
+scheduler, epoch loop with grad clip, checkpoint cadence (FIFO limit),
+validation cadence, loss logging. Here:
+
+  * one jitted multi-task step on a dp x tp mesh (XLA collectives, no DDP)
+  * host-side numpy data pipeline feeding sharded device batches
+  * orbax checkpointing (full TrainState) + latest-resume
+  * JSONL metrics log (+ stdout), per-step timing (reference relies on
+    tqdm + tensorboard; see train/metrics.py)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plangen_tpu.config import PlanGenConfig
+from plangen_tpu.data.collate import collate_flows
+from plangen_tpu.data.loader import BatchLoader, CombinedLoader, infinite
+from plangen_tpu.data.registry import get_dataset
+from plangen_tpu.models import vlm
+from plangen_tpu.parallel.mesh import batch_sharding, create_mesh, shard_params
+from plangen_tpu.tasks.processor import PlanGenProcessor
+from plangen_tpu.text.tokenizer import load_tokenizer
+from plangen_tpu.train.checkpoint import PlanGenCheckpointer
+from plangen_tpu.train.metrics import MetricsLogger
+from plangen_tpu.train.optim import count_params, make_optimizer, trainable_mask
+from plangen_tpu.train.step import init_train_state, make_train_step
+
+
+class Trainer:
+    def __init__(self, cfg: PlanGenConfig, params: Optional[Any] = None):
+        self.cfg = cfg
+        tcfg = cfg.train
+
+        self.mesh = create_mesh(tcfg.mesh_shape)
+        self.tokenizer = load_tokenizer(
+            cfg.janus_path,
+            vocab_size=cfg.model.llama.vocab_size,
+            use_special_tokens=cfg.use_special_tokens,
+            use_numhw=cfg.use_numhw_tokens,
+        )
+        self.processor = PlanGenProcessor(
+            self.tokenizer,
+            image_tokens=cfg.model.image_seq_len,
+            max_seq_len=tcfg.max_seq_len,
+            gen=cfg.generation,
+        )
+
+        if params is None:
+            params = vlm.init(
+                jax.random.PRNGKey(tcfg.seed), cfg.model, dtype=jnp.float32
+            )
+        self.params = shard_params(params, self.mesh)
+
+        tx, self.mask = make_optimizer(tcfg.optim, self.params, tcfg.tuning_mode)
+        self.tx = tx
+        counts = count_params(self.params, self.mask)
+        print(
+            f"params: total={counts['total']/1e6:.1f}M "
+            f"trainable={counts['trainable']/1e6:.1f}M "
+            f"(tuning_mode={tcfg.tuning_mode})"
+        )
+
+        self.flows = tuple(
+            (i, f.task_type) for i, f in enumerate(tcfg.train_data)
+        )
+        self.flow_tasks = dict(self.flows)
+        self.step_fn = make_train_step(
+            cfg.model,
+            tcfg,
+            tx,
+            pad_id=self.tokenizer.special.pad_id,
+            flows=self.flows,
+        )
+        self.state = init_train_state(self.params, tx)
+
+        self.ckpt = PlanGenCheckpointer(
+            os.path.join(tcfg.output_dir, "checkpoints"),
+            total_limit=tcfg.checkpoints_total_limit,
+        )
+        self.logger = MetricsLogger(tcfg.output_dir)
+        self._batch_sharding = batch_sharding(self.mesh)
+
+    # ------------------------------------------------------------------ data
+
+    def build_dataloader(self):
+        tcfg = self.cfg.train
+        loaders = {}
+        for fid, flow in enumerate(tcfg.train_data):
+            ds = get_dataset(self.cfg, flow.data_name, is_test=False)
+            loaders[fid] = BatchLoader(
+                ds, flow.batch_size, shuffle=True, seed=tcfg.seed + fid
+            )
+            print(f"flow {fid}: task={flow.task_type} data={flow.data_name} "
+                  f"len={len(ds)} bs={flow.batch_size}")
+        return CombinedLoader(loaders)
+
+    def _device_batches(self, flow_samples):
+        batches = collate_flows(flow_samples, self.flow_tasks, self.processor)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self._batch_sharding), batches
+        )
+
+    # ----------------------------------------------------------------- train
+
+    def maybe_resume(self) -> int:
+        tcfg = self.cfg.train
+        if tcfg.resume is None:
+            return 0
+        restored = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state = restored
+            step = int(restored.step)
+            print(f"resumed from step {step}")
+            return step
+        return 0
+
+    def fit(self, max_steps: Optional[int] = None) -> Dict[str, float]:
+        tcfg = self.cfg.train
+        max_steps = max_steps or tcfg.max_train_steps
+        start = self.maybe_resume()
+        loader = infinite(self.build_dataloader())
+        last_metrics: Dict[str, float] = {}
+        t_step = time.perf_counter()
+        for step in range(start, max_steps):
+            flow_samples = next(loader)
+            batches = self._device_batches(flow_samples)
+            self.state, metrics = self.step_fn(self.state, batches)
+            if (step + 1) % 10 == 0 or step == start:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = (time.perf_counter() - t_step) / (10 if step > start else 1)
+                t_step = time.perf_counter()
+                metrics["sec_per_step"] = dt
+                self.logger.log(step + 1, metrics)
+                last_metrics = metrics
+            if (step + 1) % tcfg.checkpointing_steps == 0:
+                self.ckpt.save(step + 1, self.state)
+        self.ckpt.save(max_steps, self.state, force=True)
+        return last_metrics
