@@ -30,13 +30,21 @@ REF_TOKENS_PER_SEC = 34.0  # documented estimate, see module docstring
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: the 576-step scan on the 1B model compiles in
+    # ~5 min cold; cache makes repeat bench runs start in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from plangen_tpu.config import PlanGenModelConfig
     from plangen_tpu.models import vlm
     from plangen_tpu.runtime.generate import generate_image_tokens
 
-    B = int(os.environ.get("BENCH_BATCH", "4"))
+    B = int(os.environ.get("BENCH_BATCH", "16"))
     L = int(os.environ.get("BENCH_PROMPT_LEN", "64"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
@@ -51,6 +59,8 @@ def main() -> None:
     )
     mask = jnp.ones((2 * B, L + n_img), dtype=jnp.int32)
 
+    import numpy as np
+
     def run(seed):
         out = generate_image_tokens(
             params,
@@ -62,7 +72,9 @@ def main() -> None:
             temperature=jnp.float32(1.0),
             num_tokens=n_img,
         )
-        return out.tokens.block_until_ready()
+        # np.asarray forces a device->host fetch: on the experimental axon
+        # platform block_until_ready() returns before execution completes
+        return np.asarray(out.tokens)
 
     run(0)  # compile
     times = []

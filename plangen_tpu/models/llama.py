@@ -118,6 +118,20 @@ def mlp_block(p: Params, x: jax.Array) -> jax.Array:
     return (gate * up) @ p["down_proj"]
 
 
+def _lora_delta(lora: Optional[Params], name: str, x: jax.Array) -> jax.Array | float:
+    """LoRA low-rank delta `(x @ A @ B) * alpha/r` for projection `name`.
+
+    Reference 'lora' tuning mode wraps q/k/v/o via peft with gaussian-A,
+    zero-B init (plangen_base.py:162-173). Returns 0.0 when absent so XLA
+    folds it away entirely in the non-LoRA path.
+    """
+    if lora is None or name not in lora:
+        return 0.0
+    a, b = lora[name]["a"], lora[name]["b"]
+    scale = lora["scaling"]
+    return ((x @ a) @ b) * scale
+
+
 def _layer(
     p: Params,
     cfg: LlamaConfig,
@@ -125,32 +139,52 @@ def _layer(
     bias: jax.Array,
     cos: jax.Array,
     sin: jax.Array,
-    cache_kv: Optional[KVCache],  # per-layer (k, v) [B, S_max, Hkv, D] or None
+    cache: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
+    # (k_cache, v_cache, layer_idx): FULL stacked caches [L, B, S, Hkv, D]
     write_at,  # scalar start index for cache writes
+    lora: Optional[Params] = None,  # per-layer LoRA slices
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     B, Q, _ = x.shape
     xin = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-    q = (xin @ p["q_proj"]).reshape(B, Q, cfg.num_heads, cfg.head_dim)
-    k = (xin @ p["k_proj"]).reshape(B, Q, cfg.num_kv_heads, cfg.head_dim)
-    v = (xin @ p["v_proj"]).reshape(B, Q, cfg.num_kv_heads, cfg.head_dim)
+    q = (xin @ p["q_proj"] + _lora_delta(lora, "q_proj", xin)).reshape(
+        B, Q, cfg.num_heads, cfg.head_dim
+    )
+    k = (xin @ p["k_proj"] + _lora_delta(lora, "k_proj", xin)).reshape(
+        B, Q, cfg.num_kv_heads, cfg.head_dim
+    )
+    v = (xin @ p["v_proj"] + _lora_delta(lora, "v_proj", xin)).reshape(
+        B, Q, cfg.num_kv_heads, cfg.head_dim
+    )
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if cache_kv is not None:
-        k_cache, v_cache = cache_kv
-        k_cache = jax.lax.dynamic_update_slice_in_dim(
-            k_cache, k.astype(k_cache.dtype), write_at, axis=1
+    if cache is not None:
+        # Write ONLY this step's [1, B, Q, Hkv, D] rows into the full stacked
+        # cache, then attend over this layer's slice. The caller carries the
+        # cache through a fori_loop, so the update lowers to an in-place row
+        # write — the cache is never copied (decode is HBM-bound; copying the
+        # cache every token would multiply the step's memory traffic).
+        k_cache, v_cache, layer_idx = cache
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache,
+            k[None].astype(k_cache.dtype),
+            (layer_idx, 0, write_at, 0, 0),
         )
-        v_cache = jax.lax.dynamic_update_slice_in_dim(
-            v_cache, v.astype(v_cache.dtype), write_at, axis=1
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache,
+            v[None].astype(v_cache.dtype),
+            (layer_idx, 0, write_at, 0, 0),
         )
-        attn = dot_product_attention(q, k_cache, v_cache, bias=bias)
+        k_full = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, keepdims=False)
+        v_full = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, keepdims=False)
+        attn = dot_product_attention(q, k_full, v_full, bias=bias)
         new_cache = (k_cache, v_cache)
     else:
         attn = dot_product_attention(q, k, v, bias=bias)
         new_cache = None
 
-    x = x + attn.reshape(B, Q, cfg.q_dim) @ p["o_proj"]
+    attn = attn.reshape(B, Q, cfg.q_dim)
+    x = x + attn @ p["o_proj"] + _lora_delta(lora, "o_proj", attn)
     x = x + mlp_block(p, rms_norm(x, p["post_attn_norm"], cfg.rms_norm_eps))
     return x, new_cache
 
@@ -205,30 +239,59 @@ def forward(
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     layers = params["layers"]
+    lora_all = params.get("lora")
+    lora_xs = None
+    lora_scale = None
+    if lora_all is not None:
+        lora_xs = {k: v for k, v in lora_all.items() if k != "scaling"}
+        lora_scale = lora_all["scaling"]
+
+    def with_scale(lora_slice):
+        if lora_slice is None:
+            return None
+        return {**lora_slice, "scaling": lora_scale}
 
     if kv_cache is None:
 
-        def body(x, layer_p):
-            x, _ = _layer(layer_p, cfg, x, bias, cos, sin, None, write_at)
+        def body(x, scanned):
+            layer_p, lora_slice = scanned
+            x, _ = _layer(
+                layer_p, cfg, x, bias, cos, sin, None, write_at,
+                lora=with_scale(lora_slice),
+            )
             return x, None
 
         if remat:
             body = jax.checkpoint(body)
-        x, _ = jax.lax.scan(body, inputs_embeds, layers)
+        x, _ = jax.lax.scan(body, inputs_embeds, (layers, lora_xs))
         out_cache = None
     else:
-
-        def body(x, scanned):
-            layer_p, k_cache, v_cache = scanned
-            x, updated = _layer(
-                layer_p, cfg, x, bias, cos, sin, (k_cache, v_cache), write_at
+        # fori_loop with the FULL stacked cache in the carry: each layer's
+        # update is an in-place row write on the carried buffer, instead of
+        # the scan xs->ys pattern which materializes a fresh cache copy per
+        # step (measured 3x decode slowdown at batch 16).
+        def body(l, carry):
+            x, kc, vc = carry
+            layer_p = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+                layers,
             )
-            return x, updated
+            lora_slice = (
+                None
+                if lora_xs is None
+                else jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+                    lora_xs,
+                )
+            )
+            x, (kc, vc) = _layer(
+                layer_p, cfg, x, bias, cos, sin, (kc, vc, l), write_at,
+                lora=with_scale(lora_slice),
+            )
+            return x, kc, vc
 
-        if remat:
-            body = jax.checkpoint(body)
-        x, (new_k, new_v) = jax.lax.scan(
-            body, inputs_embeds, (layers, kv_cache[0], kv_cache[1])
+        x, new_k, new_v = jax.lax.fori_loop(
+            0, cfg.num_layers, body, (inputs_embeds, kv_cache[0], kv_cache[1])
         )
         out_cache = (new_k, new_v)
 

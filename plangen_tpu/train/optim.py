@@ -31,6 +31,16 @@ TUNING_MODES: Dict[str, Callable[[str], bool]] = {
     "stage1": lambda p: p.startswith(("aligner", "gen_aligner", "gen_head")),
     "stage2": lambda p: not p.startswith(("vision_model", "gen_vision_model")),
     "stage3": lambda p: not p.startswith("gen_vision_model"),
+    # LoRA adapters only / adapters + token embeddings (tune_token_when_lora);
+    # the constant 'scaling' scalar stays frozen
+    "lora": lambda p: (
+        "/lora/" in p or p.startswith("language_model/lora")
+    ) and not p.endswith("scaling"),
+    "lora_tokens": lambda p: (
+        (("/lora/" in p or p.startswith("language_model/lora"))
+         and not p.endswith("scaling"))
+        or p == "language_model/embed_tokens"
+    ),
 }
 
 
@@ -92,6 +102,7 @@ def make_optimizer(
 ) -> tuple[optax.GradientTransformation, Any]:
     """Returns (tx, trainable_mask_tree)."""
     mask = trainable_mask(params, tuning_mode)
+    frozen = jax.tree_util.tree_map(lambda m: not m, mask)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
@@ -102,7 +113,12 @@ def make_optimizer(
             weight_decay=cfg.adam_weight_decay,
         ),
     )
-    tx = optax.masked(tx, mask)
+    # optax.masked applies tx to trainable leaves but passes raw gradients
+    # through for the rest — frozen leaves must be explicitly zeroed
+    tx = optax.chain(
+        optax.masked(tx, mask),
+        optax.masked(optax.set_to_zero(), frozen),
+    )
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     return tx, mask

@@ -58,9 +58,26 @@ class Trainer:
             params = vlm.init(
                 jax.random.PRNGKey(tcfg.seed), cfg.model, dtype=jnp.float32
             )
+        tuning_mode = tcfg.tuning_mode
+        if tuning_mode == "lora":
+            from plangen_tpu.train.lora import add_lora, init_lora
+
+            params = add_lora(
+                params,
+                init_lora(
+                    jax.random.PRNGKey(tcfg.seed + 1),
+                    cfg.model.llama,
+                    rank=tcfg.lora_rank,
+                    alpha=tcfg.lora_alpha,
+                ),
+            )
+            if tcfg.tune_token_when_lora and (
+                cfg.use_special_tokens or cfg.use_numhw_tokens
+            ):
+                tuning_mode = "lora_tokens"
         self.params = shard_params(params, self.mesh)
 
-        tx, self.mask = make_optimizer(tcfg.optim, self.params, tcfg.tuning_mode)
+        tx, self.mask = make_optimizer(tcfg.optim, self.params, tuning_mode)
         self.tx = tx
         counts = count_params(self.params, self.mask)
         print(

@@ -1,0 +1,88 @@
+"""Pallas kernel numerics vs the XLA reference implementation (interpret mode
+on CPU; the same kernels compile natively on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plangen_tpu.ops.attention import dot_product_attention, make_causal_bias
+from plangen_tpu.ops.pallas_attention import _reference, flash_attention
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make_qkv(B=2, S=256, H=2, Hkv=2, D=128, dtype=jnp.float32):
+    ks = jax.random.split(KEY, 3)
+    q = jax.random.normal(ks[0], (B, S, H, D), dtype=dtype)
+    k = jax.random.normal(ks[1], (B, S, Hkv, D), dtype=dtype)
+    v = jax.random.normal(ks[2], (B, S, Hkv, D), dtype=dtype)
+    return q, k, v
+
+
+class TestFlashAttention:
+    def test_causal_matches_reference(self):
+        q, k, v = make_qkv()
+        mask = jnp.ones((2, 256), dtype=jnp.int32)
+        out = flash_attention(q, k, v, mask, interpret=True)
+        ref = _reference(q, k, v, mask, True, 128 ** -0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_left_padding(self):
+        q, k, v = make_qkv(B=2, S=256)
+        mask = np.ones((2, 256), dtype=np.int32)
+        mask[0, :130] = 0  # left-padded row crossing a block boundary
+        mask = jnp.asarray(mask)
+        out = flash_attention(q, k, v, mask, interpret=True)
+        ref = _reference(q, k, v, mask, True, 128 ** -0.5)
+        # compare valid positions only
+        np.testing.assert_allclose(
+            np.asarray(out[0, 130:]), np.asarray(ref[0, 130:]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[1]), np.asarray(ref[1]), atol=2e-5
+        )
+
+    def test_non_causal(self):
+        q, k, v = make_qkv(S=128)
+        mask = jnp.ones((2, 128), dtype=jnp.int32)
+        out = flash_attention(q, k, v, mask, causal=False, interpret=True)
+        ref = _reference(q, k, v, mask, False, 128 ** -0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_gqa(self):
+        q, k, v = make_qkv(H=4, Hkv=2)
+        mask = jnp.ones((2, 256), dtype=jnp.int32)
+        out = flash_attention(q, k, v, mask, interpret=True)
+        ref_k = jnp.repeat(k, 2, axis=2)
+        ref_v = jnp.repeat(v, 2, axis=2)
+        ref = _reference(q, ref_k, ref_v, mask, True, 128 ** -0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_bf16(self):
+        q, k, v = make_qkv(dtype=jnp.bfloat16)
+        mask = jnp.ones((2, 256), dtype=jnp.int32)
+        out = flash_attention(q, k, v, mask, interpret=True)
+        ref = _reference(q, k, v, mask, True, 128 ** -0.5)
+        np.testing.assert_allclose(
+            np.asarray(out, dtype=np.float32),
+            np.asarray(ref, dtype=np.float32),
+            atol=2e-2,
+        )
+
+    def test_gradient_flows(self):
+        q, k, v = make_qkv(B=1, S=128, H=1, Hkv=1)
+        mask = jnp.ones((1, 128), dtype=jnp.int32)
+
+        def loss(q, k, v):
+            return jnp.sum(
+                flash_attention(q, k, v, mask, True, None, 128, 128, True) ** 2
+            )
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        ref_g = jax.grad(
+            lambda q, k, v: jnp.sum(_reference(q, k, v, mask, True, 128 ** -0.5) ** 2),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g, ref_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
