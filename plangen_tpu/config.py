@@ -266,6 +266,12 @@ class PlanGenConfig:
     oim_root: Optional[str] = None
     oim_class_csv: Optional[str] = None
     oim_caption_dir: Optional[str] = None
+    grit_json: Optional[str] = None
+    grit_image_dir: str = ""
+    grit7k_json: Optional[str] = None
+    edit_json: Optional[str] = None
+    plan_json: Optional[str] = None
+    plan_caps_jsonl: Optional[str] = None
     use_textual: bool = True                # 0-1000 int coords vs <h/w> tokens
     use_special_tokens: bool = True
     use_numhw_tokens: bool = False

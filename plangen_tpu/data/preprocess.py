@@ -52,6 +52,26 @@ def clip_normalize(image_u8: np.ndarray) -> np.ndarray:
     return (x - CLIP_MEAN) / CLIP_STD
 
 
+def janus_image_preprocess(image_u8: np.ndarray, image_size: int = 384) -> np.ndarray:
+    """Vanilla Janus VLMImageProcessor path (no PlanGen tensor hack):
+    long-side bicubic+antialias resize, expand2square pad with the CLIP mean
+    color, then CLIP normalize. Reference: image_processing_vlm.py:41-52,
+    127-162. Used for eval parity against standalone Janus inference.
+    """
+    from PIL import Image
+
+    pil = Image.fromarray(image_u8)
+    w, h = pil.size
+    scale = image_size / max(w, h)
+    new_w = max(int(w * scale), 1)
+    new_h = max(int(h * scale), 1)
+    pil = pil.resize((new_w, new_h), Image.BICUBIC)
+    bg = tuple(int(255 * m) for m in CLIP_MEAN)
+    canvas = Image.new("RGB", (image_size, image_size), bg)
+    canvas.paste(pil, ((image_size - new_w) // 2, (image_size - new_h) // 2))
+    return clip_normalize(np.asarray(canvas))
+
+
 def build_edit_region(
     edit_boxes: np.ndarray,  # [N, 4] normalized x1,y1,x2,y2
     grid: int = 24,

@@ -111,6 +111,47 @@ def _oim(cfg, is_test):
     )
 
 
+def _grit(cfg, is_test, flip=False):
+    from plangen_tpu.data.grit import GritSceneGraphDataset
+
+    return GritSceneGraphDataset(
+        getattr(cfg, "grit_json", None) or "",
+        image_dir=getattr(cfg, "grit_image_dir", ""),
+        image_hw=cfg.janus_hw,
+        flip=flip,
+        neg_prompt=cfg.generation.neg_prompt,
+    )
+
+
+def _grit7k(cfg, is_test):
+    from plangen_tpu.data.grit import Grit7kDataset
+
+    return Grit7kDataset(
+        getattr(cfg, "grit7k_json", None) or "",
+        neg_prompt=cfg.generation.neg_prompt,
+    )
+
+
+def _edit_spec(cfg, is_test):
+    from plangen_tpu.data.grit import EditSpecDataset
+
+    return EditSpecDataset(
+        getattr(cfg, "edit_json", None) or "",
+        neg_prompt=cfg.generation.neg_prompt,
+        pad_edit_box=cfg.generation.pad_edit_box,
+    )
+
+
+def _plan_eval(cfg, is_test):
+    from plangen_tpu.data.layoutgpt import PlanEvalDataset
+
+    return PlanEvalDataset(
+        getattr(cfg, "plan_json", None) or "",
+        getattr(cfg, "plan_caps_jsonl", None) or "",
+        neg_prompt=cfg.generation.neg_prompt,
+    )
+
+
 REGISTRY: Dict[str, Callable] = {
     "toy": _toy,
     "data_toy": _toy,
@@ -123,6 +164,11 @@ REGISTRY: Dict[str, Callable] = {
     "coco_rm": _rm_coco,
     "layout": _layout,
     "oim": _oim,
+    "hico": _grit,  # GRiT scene-graph subset
+    "hico_full": lambda cfg, t: _grit(cfg, t, flip=False),
+    "hico_7k": _grit7k,
+    "edit": _edit_spec,
+    "plan": _plan_eval,  # pre-generated LLM plans ('plan_llama' etc. share this)
 }
 
 
