@@ -237,6 +237,7 @@ class TrainConfig:
     lora_alpha: int = 128
     tune_token_when_lora: bool = True
     gradient_checkpointing: bool = False
+    use_flash_attention: bool = False  # Pallas flash kernel in training forwards
     max_seq_len: int = 700
     optim: OptimConfig = field(default_factory=OptimConfig)
     train_data: Tuple[FlowConfig, ...] = (FlowConfig(),)

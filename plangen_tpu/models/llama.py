@@ -143,6 +143,7 @@ def _layer(
     # (k_cache, v_cache, layer_idx): FULL stacked caches [L, B, S, Hkv, D]
     write_at,  # scalar start index for cache writes
     lora: Optional[Params] = None,  # per-layer LoRA slices
+    flash_mask: Optional[jax.Array] = None,  # [B, Q] pad mask -> Pallas flash path
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     B, Q, _ = x.shape
     xin = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
@@ -179,6 +180,11 @@ def _layer(
         v_full = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, keepdims=False)
         attn = dot_product_attention(q, k_full, v_full, bias=bias)
         new_cache = (k_cache, v_cache)
+    elif flash_mask is not None:
+        from plangen_tpu.ops.pallas_attention import flash_attention
+
+        attn = flash_attention(q, k, v, flash_mask, True, None)
+        new_cache = None
     else:
         attn = dot_product_attention(q, k, v, bias=bias)
         new_cache = None
@@ -212,6 +218,7 @@ def forward(
     kv_cache: Optional[KVCache] = None,  # (k, v) [L, B, S_max, Hkv, D]
     write_at=None,  # scalar cache write offset (== positions[0])
     remat: bool = False,  # rematerialize each layer (training memory saver)
+    use_flash: bool = False,  # Pallas flash attention for the no-cache path
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack (final RMSNorm applied, no head).
 
@@ -252,12 +259,20 @@ def forward(
         return {**lora_slice, "scaling": lora_scale}
 
     if kv_cache is None:
+        # flash path requires 128-aligned seq, 128 head_dim, arange positions
+        flash_ok = (
+            use_flash
+            and Q % 128 == 0
+            and cfg.head_dim == 128
+            and attn_mask.shape[1] == Q
+        )
+        flash_mask = attn_mask if flash_ok else None
 
         def body(x, scanned):
             layer_p, lora_slice = scanned
             x, _ = _layer(
                 layer_p, cfg, x, bias, cos, sin, None, write_at,
-                lora=with_scale(lora_slice),
+                lora=with_scale(lora_slice), flash_mask=flash_mask,
             )
             return x, None
 

@@ -41,9 +41,13 @@ def shift_cross_entropy(
     return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
-def _forward_full(params, cfg: PlanGenModelConfig, embeds, mask, remat: bool = False):
+def _forward_full(
+    params, cfg: PlanGenModelConfig, embeds, mask,
+    remat: bool = False, use_flash: bool = False,
+):
     hidden, _ = llama.forward(
-        params["language_model"], cfg.llama, embeds, mask, remat=remat
+        params["language_model"], cfg.llama, embeds, mask,
+        remat=remat, use_flash=use_flash,
     )
     return hidden
 
@@ -58,6 +62,7 @@ def t2i_loss(
     is_uni: bool = True,
     local_edit_region: jax.Array | None = None,  # [B, N] optional loss mask
     remat: bool = False,
+    use_flash: bool = False,
 ) -> Dict[str, jax.Array]:
     """Image-generation loss (reference forward_t2i, plangen_base.py:909-972)."""
     B, L = input_ids.shape
@@ -72,7 +77,7 @@ def t2i_loss(
     img_embeds = vlm.gen_img_embeds(params, vq_ids).astype(text_embeds.dtype)
     embeds = jnp.concatenate([text_embeds, img_embeds], axis=1)  # [B, L+N]
 
-    hidden = _forward_full(params, cfg, embeds, attn_mask, remat)
+    hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash)
 
     # image head over the last N+1 positions; labels [0, vq_ids]
     img_hidden = hidden[:, -(n_img + 1) :]
@@ -96,9 +101,11 @@ def t2i_loss(
     return {"loss_uni_t2i": loss_img, "loss_uni_lm": loss_lm}
 
 
-def uni_loss(params, cfg, input_ids, attn_mask, images, pad_id, remat=False):
+def uni_loss(params, cfg, input_ids, attn_mask, images, pad_id, remat=False,
+             use_flash=False):
     return t2i_loss(
-        params, cfg, input_ids, attn_mask, images, pad_id, is_uni=True, remat=remat
+        params, cfg, input_ids, attn_mask, images, pad_id, is_uni=True,
+        remat=remat, use_flash=use_flash,
     )
 
 
@@ -111,11 +118,12 @@ def mmu_loss(
     images_seq_mask: jax.Array,  # [B, L] bool
     pad_id: int,
     remat: bool = False,
+    use_flash: bool = False,
 ) -> Dict[str, jax.Array]:
     """Understanding loss (reference forward_mmu, plangen_base.py:843-892):
     LM CE over the spliced sequence; image-placeholder ids -> pad (ignored)."""
     embeds = vlm.prepare_inputs_embeds(params, cfg, input_ids, images, images_seq_mask)
-    hidden = _forward_full(params, cfg, embeds, attn_mask, remat)
+    hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash)
     logits = llama.lm_head(params["language_model"], hidden)
     labels = jnp.where(images_seq_mask, pad_id, input_ids)
     return {"loss_mmu": shift_cross_entropy(logits, labels, pad_id)}
@@ -128,9 +136,10 @@ def plan_loss(
     attn_mask: jax.Array,  # [B, L]
     pad_id: int,
     remat: bool = False,
+    use_flash: bool = False,
 ) -> Dict[str, jax.Array]:
     """Planning loss (reference forward_plan -> forward_mmu(is_plan=True))."""
     embeds = vlm.embed_text(params, input_ids)
-    hidden = _forward_full(params, cfg, embeds, attn_mask, remat)
+    hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash)
     logits = llama.lm_head(params["language_model"], hidden)
     return {"loss_plan_lm": shift_cross_entropy(logits, input_ids, pad_id)}

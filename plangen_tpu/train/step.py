@@ -64,6 +64,7 @@ def make_train_step(
     scales = dict(train_cfg.loss_scales)
     plan_lr_scale = train_cfg.plan_lr_scale
     remat = train_cfg.gradient_checkpointing
+    use_flash = getattr(train_cfg, "use_flash_attention", False)
 
     def loss_fn(params, batches):
         cparams = _cast(params, compute_dtype)
@@ -80,6 +81,7 @@ def make_train_step(
                     pad_id,
                     is_uni=(task == "uni"),
                     remat=remat,
+                    use_flash=use_flash,
                 )
             elif task == "mmu":
                 ld = mmu_loss(
@@ -91,6 +93,7 @@ def make_train_step(
                     b["images_seq_mask"],
                     pad_id,
                     remat=remat,
+                    use_flash=use_flash,
                 )
             elif task == "plan":
                 ld = plan_loss(
@@ -100,6 +103,7 @@ def make_train_step(
                     b["attn_mask"],
                     pad_id,
                     remat=remat,
+                    use_flash=use_flash,
                 )
             else:
                 raise ValueError(f"unknown task type {task!r}")
