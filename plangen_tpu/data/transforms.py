@@ -110,3 +110,69 @@ def random_mirror(
         b[:, 0], b[:, 2] = 1.0 - boxes_xyxy_norm[:, 2], 1.0 - boxes_xyxy_norm[:, 0]
         return image, b
     return image, boxes_xyxy_norm
+
+
+def _jaccard(boxes: np.ndarray, rect: np.ndarray) -> np.ndarray:
+    """IoU of each box [N, 4] with one rect [4] (pixel xyxy)."""
+    x1 = np.maximum(boxes[:, 0], rect[0])
+    y1 = np.maximum(boxes[:, 1], rect[1])
+    x2 = np.minimum(boxes[:, 2], rect[2])
+    y2 = np.minimum(boxes[:, 3], rect[3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area_b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    area_r = (rect[2] - rect[0]) * (rect[3] - rect[1])
+    union = area_b + area_r - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+IOU_CROP_MODES = ((0.1, None), (0.3, None), (0.7, None), (0.9, None), (None, None))
+
+
+def iou_sample_crop(
+    image: np.ndarray,  # [H, W, 3]
+    boxes_xyxy: np.ndarray,  # [N, 4] pixel coords
+    labels: Sequence[str],
+    rng: np.random.RandomState,
+    max_trials: int = 50,
+) -> Optional[Tuple[np.ndarray, np.ndarray, List[str]]]:
+    """SSD-style IoU-constrained square crop keeping boxes whose centers lie
+    inside the crop (augmentations.py RandomSampleCrop/CenterSampleCrop:
+    square patch with side = min(H, W), min-jaccard modes .1/.3/.7/.9 or
+    unconstrained, boxes clipped and shifted to the crop frame).
+
+    Returns (cropped image, adjusted boxes, kept labels) or None when no
+    valid crop is found within max_trials (caller keeps the original).
+    """
+    h, w = image.shape[:2]
+    boxes = np.asarray(boxes_xyxy, dtype=np.float32).reshape(-1, 4)
+    if len(boxes) == 0:
+        return None
+    side = min(h, w)
+    min_iou, max_iou = IOU_CROP_MODES[rng.randint(len(IOU_CROP_MODES))]
+    lo = -np.inf if min_iou is None else min_iou
+    hi = np.inf if max_iou is None else max_iou
+    for _ in range(max_trials):
+        left = rng.uniform(0, w - side)
+        top = rng.uniform(0, h - side)
+        rect = np.array(
+            [int(left), int(top), int(left + side), int(top + side)], dtype=np.float32
+        )
+        overlap = _jaccard(boxes, rect)
+        if overlap.min() < lo and hi < overlap.max():
+            continue
+        centers = (boxes[:, :2] + boxes[:, 2:]) / 2.0
+        keep = (
+            (rect[0] < centers[:, 0])
+            & (rect[1] < centers[:, 1])
+            & (rect[2] > centers[:, 0])
+            & (rect[3] > centers[:, 1])
+        )
+        if not keep.any():
+            continue
+        out_img = image[int(rect[1]) : int(rect[3]), int(rect[0]) : int(rect[2])]
+        kept = boxes[keep].copy()
+        kept[:, :2] = np.maximum(kept[:, :2], rect[:2]) - rect[:2]
+        kept[:, 2:] = np.minimum(kept[:, 2:], rect[2:]) - rect[:2]
+        kept_labels = [l for l, k in zip(labels, keep) if k]
+        return out_img, kept, kept_labels
+    return None

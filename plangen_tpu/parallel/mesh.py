@@ -113,3 +113,28 @@ def shard_params(params: Any, mesh: Mesh, tp_axis: str = "model") -> Any:
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
     """Batch arrays: shard dim 0 over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(data_axis))
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (multi-slice DP over DCN).
+
+    On Cloud TPU pods jax.distributed.initialize() autodetects everything;
+    explicit args support other launchers. Call once before any jax op; after
+    this, `create_mesh` sees every chip across hosts and the same pjit train
+    step scales with NO other code changes (XLA routes intra-slice
+    collectives over ICI and cross-slice ones over DCN).
+    """
+    import jax
+
+    if coordinator_address is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )

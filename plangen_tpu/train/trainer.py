@@ -140,7 +140,11 @@ class Trainer:
             return step
         return 0
 
-    def fit(self, max_steps: Optional[int] = None) -> Dict[str, float]:
+    def fit(
+        self,
+        max_steps: Optional[int] = None,
+        validate_fn=None,  # callable(step, params) for the validation cadence
+    ) -> Dict[str, float]:
         tcfg = self.cfg.train
         max_steps = max_steps or tcfg.max_train_steps
         start = self.maybe_resume()
@@ -160,5 +164,22 @@ class Trainer:
                 last_metrics = metrics
             if (step + 1) % tcfg.checkpointing_steps == 0:
                 self.ckpt.save(step + 1, self.state)
+            if validate_fn is not None and (step + 1) % tcfg.validation_steps == 0:
+                validate_fn(step + 1, self.state.params)
         self.ckpt.save(max_steps, self.state, force=True)
         return last_metrics
+
+    def validate(self, step: int, params=None, max_len: int = 1) -> None:
+        """Run the eval harness on the test task (reference validation cadence,
+        train.py:208-210)."""
+        from plangen_tpu.tasks.eval import run_validation
+
+        run_validation(
+            self.cfg,
+            task_type="uni",
+            data_name="toy",
+            max_len=max_len,
+            output_dir=os.path.join(self.cfg.train.output_dir, "val"),
+            params=params if params is not None else self.state.params,
+            global_step=step,
+        )

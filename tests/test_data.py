@@ -238,3 +238,26 @@ class TestEvalHarness:
         assert (base / "0" / "pr_image" / "0.png").exists()
         assert (base / "0" / "gt_image" / "1.png").exists()
         assert (base / "0_batch" / "0.png").exists()
+
+
+class TestIoUCrop:
+    def test_crop_keeps_centered_boxes(self):
+        from plangen_tpu.data.transforms import iou_sample_crop
+
+        rng = np.random.RandomState(0)
+        img = np.zeros((100, 200, 3), dtype=np.uint8)
+        boxes = np.array([[90.0, 40.0, 110.0, 60.0]])  # centered-ish
+        out = iou_sample_crop(img, boxes, ["obj"], rng)
+        if out is None:
+            pytest.skip("no valid crop found (random)")
+        cimg, cboxes, clabels = out
+        assert cimg.shape[0] == cimg.shape[1] == 100  # square side=min(H,W)
+        assert clabels == ["obj"]
+        assert (cboxes >= 0).all() and (cboxes[:, 2:] <= 100).all()
+
+    def test_empty_boxes_returns_none(self):
+        from plangen_tpu.data.transforms import iou_sample_crop
+
+        rng = np.random.RandomState(0)
+        img = np.zeros((64, 64, 3), dtype=np.uint8)
+        assert iou_sample_crop(img, np.zeros((0, 4)), [], rng) is None
