@@ -33,7 +33,7 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _flash_fwd_kernel(
-    mask_ref,  # [1, block_k] int32 pad-mask slice for this (batch, kv tile)
+    mask_ref,  # [1, 1, block_k] int32 pad-mask slice for this (batch, kv tile)
     q_ref,  # [1, 1, block_q, D]
     k_ref,  # [1, 1, block_k, D]
     v_ref,  # [1, 1, block_k, D]
@@ -75,7 +75,7 @@ def _flash_fwd_kernel(
         s = s * scale
 
         # padding mask (kv side): 0 = pad
-        pad_ok = mask_ref[0, :] > 0  # [block_k]
+        pad_ok = mask_ref[0, 0, :] > 0  # [block_k]
         mask = jnp.broadcast_to(pad_ok[None, :], s.shape)
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_idx * block_q
@@ -142,7 +142,7 @@ def _flash_fwd(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_k), lambda b, h, i, j: (b, j)),
+                pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, j)),
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
                 pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0)),
                 pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0)),
@@ -160,7 +160,7 @@ def _flash_fwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(pad_mask.astype(jnp.int32), q, k, v)
+    )(pad_mask.astype(jnp.int32)[:, None, :], q, k, v)
 
 
 @functools.partial(
