@@ -44,7 +44,7 @@ def main() -> None:
     from plangen_tpu.models import vlm
     from plangen_tpu.runtime.generate import generate_image_tokens
 
-    B = int(os.environ.get("BENCH_BATCH", "16"))
+    B = int(os.environ.get("BENCH_BATCH", "32"))
     L = int(os.environ.get("BENCH_PROMPT_LEN", "64"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 

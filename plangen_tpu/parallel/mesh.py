@@ -79,40 +79,84 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def param_shardings(params: Any, mesh: Mesh, tp_axis: str = "model") -> Any:
+def param_shardings(
+    params: Any,
+    mesh: Mesh,
+    tp_axis: str = "model",
+    fsdp_axis: Optional[str] = None,
+    fsdp_min_size: int = 2 ** 20,
+) -> Any:
     """PartitionSpec pytree for the parameter tree.
 
     Matrices matching the TP rules are sharded over `tp_axis` when that mesh
-    axis has size > 1 (and the dim divides); everything else is replicated.
+    axis has size > 1 (and the dim divides). With `fsdp_axis` set, every
+    remaining array of >= fsdp_min_size elements additionally shards its
+    largest divisible dim over that axis (ZeRO-3-style parameter sharding —
+    XLA all-gathers weights per layer and reduce-scatters grads, riding ICI).
+    Everything else replicates.
     """
     tp = mesh.shape.get(tp_axis, 1)
+    fsdp = mesh.shape.get(fsdp_axis, 1) if fsdp_axis else 1
 
     def rule(path, leaf):
         if tp > 1:
             ps = _path_str(path)
             for pat, spec in _TP_RULES:
                 if re.search(pat, ps):
-                    # check divisibility of the sharded dim
                     ok = True
                     for dim, axis in enumerate(spec):
                         if axis is not None and leaf.shape[dim] % tp != 0:
                             ok = False
                     if ok:
                         return NamedSharding(mesh, spec)
+        if fsdp > 1 and leaf.size >= fsdp_min_size:
+            dims = sorted(
+                range(leaf.ndim), key=lambda d: leaf.shape[d], reverse=True
+            )
+            for d in dims:
+                if leaf.shape[d] % fsdp == 0:
+                    spec = [None] * leaf.ndim
+                    spec[d] = fsdp_axis
+                    return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def shard_params(params: Any, mesh: Mesh, tp_axis: str = "model") -> Any:
+def shard_params(
+    params: Any,
+    mesh: Mesh,
+    tp_axis: str = "model",
+    fsdp_axis: Optional[str] = None,
+    fsdp_min_size: int = 2 ** 20,
+) -> Any:
     """Place a parameter tree on the mesh per `param_shardings`."""
-    shardings = param_shardings(params, mesh, tp_axis)
+    shardings = param_shardings(params, mesh, tp_axis, fsdp_axis, fsdp_min_size)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
     """Batch arrays: shard dim 0 over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(data_axis))
+
+
+def normalize_state_shardings(state: Any, mesh: Mesh) -> Tuple[Any, Any]:
+    """(resharded_state, sharding_tree) with every leaf on the mesh.
+
+    Leaves already carrying a NamedSharding on this mesh keep it (e.g. FSDP
+    params and the optimizer moments derived from them); anything created on
+    a single device (scalars, counters) becomes mesh-replicated. Use the
+    sharding tree as `make_train_step(state_shardings=...)` to pin layouts.
+    """
+    def sh(x):
+        s = getattr(x, "sharding", None)
+        if isinstance(s, NamedSharding) and s.mesh == mesh:
+            return s
+        return NamedSharding(mesh, P())
+
+    shardings = jax.tree_util.tree_map(sh, state)
+    state = jax.tree_util.tree_map(jax.device_put, state, shardings)
+    return state, shardings
 
 
 def init_distributed(

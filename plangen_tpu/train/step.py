@@ -48,6 +48,9 @@ def make_train_step(
     flows: Sequence[Tuple[int, str]],  # (flow_id, task_type)
     compute_dtype=jnp.bfloat16,
     donate: bool = True,
+    state_shardings: Optional[TrainState] = None,
+    # TrainState of NamedShardings (e.g. FSDP) to pin the output state layout;
+    # without it jit may re-replicate sharded parameters after the update
 ) -> Callable:
     """Build the jitted multi-task train step.
 
@@ -118,7 +121,11 @@ def make_train_step(
             total = total + v
         return total, loss_dict
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    jit_kwargs = {}
+    if state_shardings is not None:
+        jit_kwargs["out_shardings"] = (state_shardings, None)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else (), **jit_kwargs)
     def train_step(state: TrainState, batches):
         (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batches
@@ -139,3 +146,8 @@ def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainS
         opt_state=tx.init(_cast(params, jnp.float32)),
         step=jnp.zeros((), dtype=jnp.int32),
     )
+
+
+def state_shardings_of(state: TrainState) -> TrainState:
+    """Extract the current sharding of every leaf (for `state_shardings`)."""
+    return jax.tree_util.tree_map(lambda x: x.sharding, state)
