@@ -238,6 +238,7 @@ class TrainConfig:
     tune_token_when_lora: bool = True
     gradient_checkpointing: bool = False
     use_flash_attention: bool = False  # Pallas flash kernel in training forwards
+    use_local_edit_loss: bool = False  # restrict image CE to the edit region
     max_seq_len: int = 700
     optim: OptimConfig = field(default_factory=OptimConfig)
     train_data: Tuple[FlowConfig, ...] = (FlowConfig(),)

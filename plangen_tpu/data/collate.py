@@ -30,7 +30,12 @@ def collate_uni(samples: List[Sample], proc: PlanGenProcessor) -> Dict[str, np.n
     groundings = [s.gt_grounding for s in samples]
     ids, mask = proc.uni_batch(captions, groundings, for_train=True)
     images = np.stack([s.image for s in samples]).astype(np.float32)
-    return {"input_ids": ids, "attn_mask": mask, "images": images}
+    out = {"input_ids": ids, "attn_mask": mask, "images": images}
+    if all(s.edit_region is not None for s in samples):
+        out["edit_region"] = np.stack([s.edit_region for s in samples]).astype(
+            np.int32
+        )
+    return out
 
 
 def collate_mmu(samples: List[Sample], proc: PlanGenProcessor) -> Dict[str, np.ndarray]:

@@ -68,6 +68,7 @@ def make_train_step(
     plan_lr_scale = train_cfg.plan_lr_scale
     remat = train_cfg.gradient_checkpointing
     use_flash = getattr(train_cfg, "use_flash_attention", False)
+    use_local_edit_loss = getattr(train_cfg, "use_local_edit_loss", False)
 
     def loss_fn(params, batches):
         cparams = _cast(params, compute_dtype)
@@ -83,6 +84,12 @@ def make_train_step(
                     b["images"].astype(compute_dtype),
                     pad_id,
                     is_uni=(task == "uni"),
+                    # use_local_edit_loss: image CE restricted to the edit
+                    # region (plangen_base.py:947-951)
+                    local_edit_region=(
+                        b["edit_region"] if use_local_edit_loss and "edit_region" in b
+                        else None
+                    ),
                     remat=remat,
                     use_flash=use_flash,
                 )
