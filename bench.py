@@ -53,6 +53,10 @@ def main() -> None:
 
     key = jax.random.PRNGKey(0)
     params = vlm.init(key, cfg, dtype=jnp.bfloat16)
+    if os.environ.get("BENCH_INT8") == "1":
+        from plangen_tpu.ops.quant import quantize_lm_params
+
+        params = quantize_lm_params(params)
 
     cfg_embeds = jax.random.normal(
         jax.random.PRNGKey(1), (2 * B, L, cfg.llama.hidden_size), dtype=jnp.bfloat16

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from plangen_tpu.config import LlamaConfig
 from plangen_tpu.ops.attention import dot_product_attention, make_causal_bias
+from plangen_tpu.ops.quant import qmatmul
 
 Params = Dict[str, Any]
 KVCache = Tuple[jax.Array, jax.Array]  # (k, v) each [L, B, S_max, Hkv, D]
@@ -113,9 +114,9 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def mlp_block(p: Params, x: jax.Array) -> jax.Array:
-    gate = jax.nn.silu(x @ p["gate_proj"])
-    up = x @ p["up_proj"]
-    return (gate * up) @ p["down_proj"]
+    gate = jax.nn.silu(qmatmul(x, p["gate_proj"]))
+    up = qmatmul(x, p["up_proj"])
+    return qmatmul(gate * up, p["down_proj"])
 
 
 def _lora_delta(lora: Optional[Params], name: str, x: jax.Array) -> jax.Array | float:
@@ -147,13 +148,13 @@ def _layer(
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     B, Q, _ = x.shape
     xin = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-    q = (xin @ p["q_proj"] + _lora_delta(lora, "q_proj", xin)).reshape(
+    q = (qmatmul(xin, p["q_proj"]) + _lora_delta(lora, "q_proj", xin)).reshape(
         B, Q, cfg.num_heads, cfg.head_dim
     )
-    k = (xin @ p["k_proj"] + _lora_delta(lora, "k_proj", xin)).reshape(
+    k = (qmatmul(xin, p["k_proj"]) + _lora_delta(lora, "k_proj", xin)).reshape(
         B, Q, cfg.num_kv_heads, cfg.head_dim
     )
-    v = (xin @ p["v_proj"] + _lora_delta(lora, "v_proj", xin)).reshape(
+    v = (qmatmul(xin, p["v_proj"]) + _lora_delta(lora, "v_proj", xin)).reshape(
         B, Q, cfg.num_kv_heads, cfg.head_dim
     )
     q = apply_rope(q, cos, sin)
@@ -190,7 +191,7 @@ def _layer(
         new_cache = None
 
     attn = attn.reshape(B, Q, cfg.q_dim)
-    x = x + attn @ p["o_proj"] + _lora_delta(lora, "o_proj", attn)
+    x = x + qmatmul(attn, p["o_proj"]) + _lora_delta(lora, "o_proj", attn)
     x = x + mlp_block(p, rms_norm(x, p["post_attn_norm"], cfg.rms_norm_eps))
     return x, new_cache
 
@@ -206,7 +207,7 @@ def embed(params: Params, ids: jax.Array) -> jax.Array:
 
 def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
     """LM logits in fp32 (reference loss upcasts: src/utils/causal_loss.py:16)."""
-    return (hidden @ params["lm_head"]).astype(jnp.float32)
+    return qmatmul(hidden, params["lm_head"]).astype(jnp.float32)
 
 
 def forward(

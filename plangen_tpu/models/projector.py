@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from plangen_tpu.config import ProjectorConfig
+from plangen_tpu.ops.quant import qmatmul
 
 Params = Dict[str, Any]
 
@@ -64,5 +65,5 @@ def gen_head_forward(params: Params, hidden: jax.Array) -> jax.Array:
     """Image-token logits, returned in fp32 for the CFG/sampling math."""
     x = hidden @ params["fc1"]["w"] + params["fc1"]["b"]
     x = jax.nn.gelu(x, approximate=False)
-    x = x @ params["fc2"]["w"] + params["fc2"]["b"]
+    x = qmatmul(x, params["fc2"]["w"]) + params["fc2"]["b"]
     return x.astype(jnp.float32)
