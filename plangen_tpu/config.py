@@ -189,6 +189,7 @@ class GenerationConfig:
     use_teacher_forcing: bool = False
     use_neg_box: bool = False
     pad_edit_box: float = 0.0
+    quantize: Optional[str] = None  # 'int8' = weight-only int8 decode path
     # long negative prompt, cfg/base.py `neg_prompt`
     neg_prompt: str = (
         "low quality, jpeg artifacts, ugly, duplicate, morbid, mutilated, extra "

@@ -49,6 +49,10 @@ def build_pipeline(cfg: PlanGenConfig, params=None) -> PlanGenPipeline:
         params = vlm.init(
             jax.random.PRNGKey(cfg.generation.seed), cfg.model, dtype=jnp.bfloat16
         )
+    if cfg.generation.quantize == "int8":
+        from plangen_tpu.ops.quant import quantize_lm_params
+
+        params = quantize_lm_params(params)
     return PlanGenPipeline(params, cfg.model, proc, gen_cfg=cfg.generation)
 
 
