@@ -1,0 +1,40 @@
+"""CLI config-loading tests (no device work)."""
+
+import pytest
+
+from plangen_tpu.cli import load_config
+from plangen_tpu.config import FlowConfig
+
+
+class TestLoadConfig:
+    def test_default(self):
+        cfg = load_config(None, [])
+        assert cfg.generation.cfg_weight == 5.0
+
+    def test_opt_overrides(self):
+        cfg = load_config(None, ["generation.cfg_weight=7.5", "janus_hw=384"])
+        assert cfg.generation.cfg_weight == 7.5
+
+    def test_flow_dict_normalization(self):
+        cfg = load_config(
+            None,
+            [
+                'train.train_data=({"task_type":"uni","data_name":"toy","batch_size":4},)'
+            ],
+        )
+        flow = cfg.train.train_data[0]
+        assert isinstance(flow, FlowConfig)
+        assert flow.batch_size == 4
+
+    def test_config_module(self):
+        cfg = load_config("configs/toy_smoke.py", [])
+        assert cfg.model.llama.hidden_size == 64
+        assert len(cfg.train.train_data) == 3
+
+    def test_config_module_plus_opt(self):
+        cfg = load_config("configs/toy_smoke.py", ["train.max_train_steps=5"])
+        assert cfg.train.max_train_steps == 5
+
+    def test_bad_override(self):
+        with pytest.raises(KeyError):
+            load_config(None, ["nonexistent.key=1"])
