@@ -65,6 +65,8 @@ def main() -> None:
 
     import numpy as np
 
+    quantized_cache = os.environ.get("BENCH_INT8_KV") == "1"
+
     def run(seed):
         out = generate_image_tokens(
             params,
@@ -75,6 +77,7 @@ def main() -> None:
             cfg_weight=jnp.float32(5.0),
             temperature=jnp.float32(1.0),
             num_tokens=n_img,
+            quantized_cache=quantized_cache,
         )
         # np.asarray forces a device->host fetch: on the experimental axon
         # platform block_until_ready() returns before execution completes

@@ -35,7 +35,7 @@ from plangen_tpu.ops.attention import dot_product_attention, make_causal_bias
 from plangen_tpu.ops.quant import qmatmul
 
 Params = Dict[str, Any]
-KVCache = Tuple[jax.Array, jax.Array]  # (k, v) each [L, B, S_max, Hkv, D]
+KVCache = Dict[str, jax.Array]  # cache dict, see runtime.kvcache layouts
 
 
 # ---------------------------------------------------------------------------
@@ -166,21 +166,53 @@ def _layer(
         # cache through a fori_loop, so the update lowers to an in-place row
         # write — the cache is never copied (decode is HBM-bound; copying the
         # cache every token would multiply the step's memory traffic).
-        k_cache, v_cache, layer_idx = cache
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache,
-            k[None].astype(k_cache.dtype),
-            (layer_idx, 0, write_at, 0, 0),
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache,
-            v[None].astype(v_cache.dtype),
-            (layer_idx, 0, write_at, 0, 0),
-        )
-        k_full = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, keepdims=False)
-        v_full = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, keepdims=False)
-        attn = dot_product_attention(q, k_full, v_full, bias=bias)
-        new_cache = (k_cache, v_cache)
+        cache_dict, layer_idx = cache
+        quantized = "k_scale" in cache_dict
+
+        def write(buf, rows, idx5):
+            return jax.lax.dynamic_update_slice(
+                buf, rows.astype(buf.dtype), idx5
+            )
+
+        if quantized:
+            from plangen_tpu.ops.attention import (
+                dot_product_attention_q8,
+                quantize_kv,
+            )
+
+            k_q8, k_s, v_q8, v_s = quantize_kv(k, v)
+            cache_dict = {
+                "k": write(cache_dict["k"], k_q8[None], (layer_idx, 0, write_at, 0, 0)),
+                "v": write(cache_dict["v"], v_q8[None], (layer_idx, 0, write_at, 0, 0)),
+                "k_scale": write(
+                    cache_dict["k_scale"], k_s[None], (layer_idx, 0, write_at, 0)
+                ),
+                "v_scale": write(
+                    cache_dict["v_scale"], v_s[None], (layer_idx, 0, write_at, 0)
+                ),
+            }
+            sl = lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, 0, keepdims=False)
+            attn = dot_product_attention_q8(
+                q,
+                sl(cache_dict["k"]),
+                sl(cache_dict["k_scale"]),
+                sl(cache_dict["v"]),
+                sl(cache_dict["v_scale"]),
+                bias=bias,
+            )
+        else:
+            cache_dict = {
+                "k": write(cache_dict["k"], k[None], (layer_idx, 0, write_at, 0, 0)),
+                "v": write(cache_dict["v"], v[None], (layer_idx, 0, write_at, 0, 0)),
+            }
+            k_full = jax.lax.dynamic_index_in_dim(
+                cache_dict["k"], layer_idx, 0, keepdims=False
+            )
+            v_full = jax.lax.dynamic_index_in_dim(
+                cache_dict["v"], layer_idx, 0, keepdims=False
+            )
+            attn = dot_product_attention(q, k_full, v_full, bias=bias)
+        new_cache = cache_dict
     elif flash_mask is not None:
         from plangen_tpu.ops.pallas_attention import flash_attention
 
@@ -216,7 +248,7 @@ def forward(
     inputs_embeds: jax.Array,  # [B, Q, H]
     attn_mask: jax.Array,  # [B, Q] pad mask (no-cache) or [B, S_max] (cache)
     positions: Optional[jax.Array] = None,  # [Q] absolute query positions
-    kv_cache: Optional[KVCache] = None,  # (k, v) [L, B, S_max, Hkv, D]
+    kv_cache: Optional[KVCache] = None,  # cache dict (see runtime.kvcache)
     write_at=None,  # scalar cache write offset (== positions[0])
     remat: bool = False,  # rematerialize each layer (training memory saver)
     use_flash: bool = False,  # Pallas flash attention for the no-cache path
@@ -240,7 +272,7 @@ def forward(
     if kv_cache is None:
         kv_positions = positions
     else:
-        kv_positions = jnp.arange(kv_cache[0].shape[2], dtype=jnp.int32)
+        kv_positions = jnp.arange(kv_cache["k"].shape[2], dtype=jnp.int32)
         if write_at is None:
             write_at = positions[0]
     bias = make_causal_bias(attn_mask, positions, kv_positions)
@@ -287,7 +319,7 @@ def forward(
         # the scan xs->ys pattern which materializes a fresh cache copy per
         # step (measured 3x decode slowdown at batch 16).
         def body(l, carry):
-            x, kc, vc = carry
+            x, cache = carry
             layer_p = jax.tree_util.tree_map(
                 lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
                 layers,
@@ -300,16 +332,15 @@ def forward(
                     lora_xs,
                 )
             )
-            x, (kc, vc) = _layer(
-                layer_p, cfg, x, bias, cos, sin, (kc, vc, l), write_at,
+            x, cache = _layer(
+                layer_p, cfg, x, bias, cos, sin, (cache, l), write_at,
                 lora=with_scale(lora_slice),
             )
-            return x, kc, vc
+            return x, cache
 
-        x, new_k, new_v = jax.lax.fori_loop(
-            0, cfg.num_layers, body, (inputs_embeds, kv_cache[0], kv_cache[1])
+        x, out_cache = jax.lax.fori_loop(
+            0, cfg.num_layers, body, (inputs_embeds, kv_cache)
         )
-        out_cache = (new_k, new_v)
 
     hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return hidden, out_cache

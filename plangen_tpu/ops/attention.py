@@ -52,6 +52,69 @@ def dot_product_attention(
     return out.astype(q.dtype)
 
 
+def dot_product_attention_q8(
+    q: jax.Array,  # [B, Q, H, D]
+    k_q8: jax.Array,  # [B, S, Hkv, D] int8
+    k_scale: jax.Array,  # [B, S, Hkv] fp32
+    v_q8: jax.Array,  # [B, S, Hkv, D] int8
+    v_scale: jax.Array,  # [B, S, Hkv] fp32
+    bias: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Attention over an int8-quantized KV cache (per-position/head scales).
+
+    Scales fold into the softmax inputs/outputs instead of dequantizing K/V
+    tensors: logits = (q . k_q8) * k_scale, out = (probs * v_scale) . v_q8 —
+    the int8->bf16 converts fuse into the matmuls, so HBM only ever reads the
+    int8 cache (half the decode-loop KV traffic).
+    """
+    B, Q, H, D = q.shape
+    _, S, Hkv, _ = k_q8.shape
+    if scale is None:
+        scale = D ** -0.5
+    if Hkv != H:
+        rep = H // Hkv
+        k_q8 = jnp.repeat(k_q8, rep, axis=2)
+        v_q8 = jnp.repeat(v_q8, rep, axis=2)
+        k_scale = jnp.repeat(k_scale, rep, axis=2)
+        v_scale = jnp.repeat(v_scale, rep, axis=2)
+    logits = jnp.einsum(
+        "bqhd,bshd->bhqs", q, k_q8.astype(q.dtype), preferred_element_type=jnp.float32
+    )
+    logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, :]  # [B,H,1,S]
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, :]
+    out = jnp.einsum(
+        "bhqs,bshd->bqhd",
+        probs.astype(q.dtype),
+        v_q8.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def quantize_kv(
+    k: jax.Array, v: jax.Array
+) -> tuple:
+    """Per-(batch, position, head) symmetric int8 quantization of K/V rows.
+
+    Returns (k_q8, k_scale, v_q8, v_scale); scales are fp32 [..., Hkv]."""
+    def one(x):
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [B,S,H]
+        s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s[..., None]), -127, 127
+        ).astype(jnp.int8)
+        return q, s.astype(jnp.float32)
+
+    k_q8, k_s = one(k)
+    v_q8, v_s = one(v)
+    return k_q8, k_s, v_q8, v_s
+
+
 def make_causal_bias(
     pad_mask: jax.Array,  # [B, S] 1 = attend, 0 = pad
     q_positions: jax.Array,  # [Q] absolute positions of the query tokens

@@ -63,7 +63,7 @@ class ImageGenResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "num_tokens"),
+    static_argnames=("cfg", "num_tokens", "quantized_cache"),
     donate_argnames=(),
 )
 def generate_image_tokens(
@@ -77,6 +77,7 @@ def generate_image_tokens(
     gt_tokens: Optional[jax.Array] = None,  # [B, num_tokens] for teacher forcing
     regen_mask: Optional[jax.Array] = None,  # [B, num_tokens] 1 = sample
     num_tokens: int = 576,
+    quantized_cache: bool = False,  # int8 KV cache (halves decode KV traffic)
 ) -> ImageGenResult:
     """Fused CFG image-token generation: prefill + 576-step scan in one program.
 
@@ -89,7 +90,9 @@ def generate_image_tokens(
     B2, L, H = cfg_embeds.shape
     B = B2 // 2
     S_max = L + num_tokens
-    cache = init_kv_cache(cfg.llama, B2, S_max, dtype=cfg_embeds.dtype)
+    cache = init_kv_cache(
+        cfg.llama, B2, S_max, dtype=cfg_embeds.dtype, quantized=quantized_cache
+    )
 
     last_hidden, cache = prefill(params, cfg, cfg_embeds, attn_mask, cache)
 

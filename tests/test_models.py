@@ -68,8 +68,9 @@ class TestLlama:
         hidden_full, _ = llama.forward(params, cfg, x_full, mask_full)
 
         # cached: prefill first L, then decode 2 steps
-        k0 = jnp.zeros((cfg.num_layers, 2, S_max, cfg.num_kv_heads, cfg.head_dim), F32)
-        cache = (k0, k0)
+        from plangen_tpu.runtime.kvcache import init_kv_cache
+
+        cache = init_kv_cache(cfg, 2, S_max, dtype=F32)
         mask = jnp.zeros((2, S_max)).at[:, : L + 2].set(1)
         h, cache = llama.forward(
             params,

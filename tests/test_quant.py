@@ -65,3 +65,46 @@ class TestQuant:
         # int8 weights shift near-tie argmaxes; demand >= half agreement on
         # this random tiny model (real models are far more robust)
         assert (out == ref).mean() >= 0.5
+
+
+class TestQuantizedKVCache:
+    def test_quantized_cache_decode_close_to_bf16(self):
+        import jax
+        import jax.numpy as jnp
+        from plangen_tpu.runtime.generate import generate_image_tokens
+
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        B, L, N = 2, 6, 4
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2 * B, L), 0, 100)
+        emb = vlm.embed_text(params, ids).astype(jnp.float32)
+        mask = jnp.ones((2 * B, L + N), dtype=jnp.int32)
+        kwargs = dict(
+            rng=KEY, cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(0.0), num_tokens=N,
+        )
+        ref = generate_image_tokens(params, TINY, emb, mask, **kwargs)
+        out = generate_image_tokens(
+            params, TINY, emb, mask, quantized_cache=True, **kwargs
+        )
+        # int8 KV shifts near-tie argmaxes occasionally; most tokens agree
+        agree = (np.asarray(ref.tokens) == np.asarray(out.tokens)).mean()
+        assert agree >= 0.5, f"agreement {agree}"
+
+    def test_quantized_teacher_forcing_exact(self):
+        import jax
+        import jax.numpy as jnp
+        from plangen_tpu.runtime.generate import generate_image_tokens
+
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        B, L, N = 1, 6, 4
+        ids = jax.random.randint(KEY, (2 * B, L), 0, 100)
+        emb = vlm.embed_text(params, ids).astype(jnp.float32)
+        mask = jnp.ones((2 * B, L + N), dtype=jnp.int32)
+        gt = jax.random.randint(KEY, (B, N), 0, TINY.image_token_size)
+        out = generate_image_tokens(
+            params, TINY, emb, mask,
+            rng=KEY, cfg_weight=jnp.float32(5.0), temperature=jnp.float32(1.0),
+            gt_tokens=gt, regen_mask=jnp.zeros((B, N), dtype=jnp.int32),
+            num_tokens=N, quantized_cache=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(gt))
