@@ -52,7 +52,8 @@ def main() -> None:
     n_img = cfg.image_seq_len  # 576
 
     key = jax.random.PRNGKey(0)
-    params = vlm.init(key, cfg, dtype=jnp.bfloat16)
+    # jit the init: one compiled program instead of per-op tunnel dispatches
+    params = jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16))(key)
     if os.environ.get("BENCH_INT8") == "1":
         from plangen_tpu.ops.quant import quantize_lm_params
 

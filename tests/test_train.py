@@ -202,3 +202,22 @@ class TestMesh:
         batches = jax.tree_util.tree_map(lambda x: jax.device_put(x, bs), batches)
         state, metrics = step(state, batches)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestRemat:
+    def test_gradient_checkpointing_matches(self):
+        """remat (per-layer jax.checkpoint) must not change loss or grads."""
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        batches = make_batches()
+        results = {}
+        for remat in [False, True]:
+            cfg = TrainConfig(gradient_checkpointing=remat)
+            tx, _ = make_optimizer(cfg.optim, params, "stage3")
+            step = make_train_step(
+                TINY, cfg, tx, PAD, ((2, "plan"),), compute_dtype=jnp.float32,
+                donate=False,
+            )
+            state = init_train_state(params, tx)
+            _, metrics = step(state, batches)
+            results[remat] = float(metrics["loss"])
+        np.testing.assert_allclose(results[False], results[True], rtol=1e-6)
