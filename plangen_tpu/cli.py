@@ -14,8 +14,7 @@ from __future__ import annotations
 import argparse
 import importlib.util
 import json
-import sys
-from typing import Any, Optional
+from typing import Optional
 
 from plangen_tpu.config import (
     FlowConfig,

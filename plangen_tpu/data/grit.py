@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ loaders combined.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Any, Dict, Iterator, List
 
 import numpy as np
 

@@ -15,7 +15,7 @@ conversation.py:80-91) and `apply_sft_template_for_multi_turn_prompts`
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 USER = "<|User|>"
 ASSISTANT = "<|Assistant|>"

@@ -15,7 +15,7 @@ All model forwards here are cache-free full-sequence (training path).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

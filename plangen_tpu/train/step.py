@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from plangen_tpu.config import PlanGenModelConfig, TrainConfig
-from plangen_tpu.train.loss import mmu_loss, plan_loss, t2i_loss, uni_loss
+from plangen_tpu.train.loss import mmu_loss, plan_loss, t2i_loss
 
 Params = Any
 

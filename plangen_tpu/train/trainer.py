@@ -31,7 +31,7 @@ from plangen_tpu.tasks.processor import PlanGenProcessor
 from plangen_tpu.text.tokenizer import load_tokenizer
 from plangen_tpu.train.checkpoint import PlanGenCheckpointer
 from plangen_tpu.train.metrics import MetricsLogger
-from plangen_tpu.train.optim import count_params, make_optimizer, trainable_mask
+from plangen_tpu.train.optim import count_params, make_optimizer
 from plangen_tpu.train.step import init_train_state, make_train_step
 
 

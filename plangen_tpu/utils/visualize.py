@@ -8,7 +8,7 @@ deterministic per-index colors, label text, horizontal grid saver.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 
