@@ -145,6 +145,8 @@ def _layer(
     write_at,  # scalar start index for cache writes
     lora: Optional[Params] = None,  # per-layer LoRA slices
     flash_mask: Optional[jax.Array] = None,  # [B, Q] pad mask -> Pallas flash path
+    chunked: bool = False,  # decode attention reads only the valid cache prefix
+    attn_mask: Optional[jax.Array] = None,  # [B, S_max] (chunked path)
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     B, Q, _ = x.shape
     xin = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
@@ -211,7 +213,14 @@ def _layer(
             v_full = jax.lax.dynamic_index_in_dim(
                 cache_dict["v"], layer_idx, 0, keepdims=False
             )
-            attn = dot_product_attention(q, k_full, v_full, bias=bias)
+            if chunked and Q == 1:
+                from plangen_tpu.ops.attention import chunked_decode_attention
+
+                attn = chunked_decode_attention(
+                    q, k_full, v_full, attn_mask, write_at
+                )
+            else:
+                attn = dot_product_attention(q, k_full, v_full, bias=bias)
         new_cache = cache_dict
     elif flash_mask is not None:
         from plangen_tpu.ops.pallas_attention import flash_attention
@@ -252,6 +261,7 @@ def forward(
     write_at=None,  # scalar cache write offset (== positions[0])
     remat: bool = False,  # rematerialize each layer (training memory saver)
     use_flash: bool = False,  # Pallas flash attention for the no-cache path
+    chunked: bool = False,  # cached decode reads only the valid cache prefix
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack (final RMSNorm applied, no head).
 
@@ -334,7 +344,8 @@ def forward(
             )
             x, cache = _layer(
                 layer_p, cfg, x, bias, cos, sin, (cache, l), write_at,
-                lora=with_scale(lora_slice),
+                lora=with_scale(lora_slice), chunked=chunked,
+                attn_mask=attn_mask,
             )
             return x, cache
 

@@ -63,7 +63,7 @@ class ImageGenResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "num_tokens", "quantized_cache"),
+    static_argnames=("cfg", "num_tokens", "quantized_cache", "chunked"),
     donate_argnames=(),
 )
 def generate_image_tokens(
@@ -78,6 +78,7 @@ def generate_image_tokens(
     regen_mask: Optional[jax.Array] = None,  # [B, num_tokens] 1 = sample
     num_tokens: int = 576,
     quantized_cache: bool = False,  # int8 KV cache (halves decode KV traffic)
+    chunked: bool = False,  # decode attention reads only the valid cache prefix
 ) -> ImageGenResult:
     """Fused CFG image-token generation: prefill + 576-step scan in one program.
 
@@ -90,6 +91,15 @@ def generate_image_tokens(
     B2, L, H = cfg_embeds.shape
     B = B2 // 2
     S_max = L + num_tokens
+    if chunked:
+        # chunked attention slices the cache in 128-slot chunks: round the
+        # allocation up and mask the tail off
+        S_pad = -(-S_max // 128) * 128
+        attn_mask = jnp.concatenate(
+            [attn_mask, jnp.zeros((B2, S_pad - S_max), dtype=attn_mask.dtype)],
+            axis=1,
+        )
+        S_max = S_pad
     cache = init_kv_cache(
         cfg.llama, B2, S_max, dtype=cfg_embeds.dtype, quantized=quantized_cache
     )
@@ -120,6 +130,7 @@ def generate_image_tokens(
             attn_mask,
             positions=pos,
             kv_cache=cache,
+            chunked=chunked,
         )
         return (hidden[:, -1], new_cache, key), token
 

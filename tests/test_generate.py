@@ -162,3 +162,24 @@ class TestTextDecode:
         hit = np.where(out[0] == 1)[0]
         if len(hit):
             assert (out[0, hit[0] :] == 1).all()
+
+
+class TestChunkedDecode:
+    def test_chunked_matches_full(self):
+        """Chunked decode attention (valid-prefix reads) must be exact."""
+        params = vlm.init(KEY, TINY, dtype=F32)
+        B, L = 2, 6
+        ids = jax.random.randint(jax.random.PRNGKey(9), (2 * B, L), 0, 100)
+        embeds = vlm.embed_text(params, ids).astype(F32)
+        mask = np.ones((2 * B, L + N_IMG), dtype=np.int32)
+        mask[1, :2] = 0  # left-padded row
+        mask = jnp.asarray(mask)
+        kwargs = dict(
+            rng=KEY,
+            cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(0.0),
+            num_tokens=N_IMG,
+        )
+        ref = generate_image_tokens(params, TINY, embeds, mask, **kwargs)
+        out = generate_image_tokens(params, TINY, embeds, mask, chunked=True, **kwargs)
+        np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(out.tokens))
