@@ -146,7 +146,8 @@ def _layer(
     lora: Optional[Params] = None,  # per-layer LoRA slices
     flash_mask: Optional[jax.Array] = None,  # [B, Q] pad mask -> Pallas flash path
     chunked: bool = False,  # decode attention reads only the valid cache prefix
-    attn_mask: Optional[jax.Array] = None,  # [B, S_max] (chunked path)
+    attn_mask: Optional[jax.Array] = None,  # [B, S_max] (chunked/paged paths)
+    paged: bool = False,  # Pallas prefix kernel: DMA only the live cache chunks
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     B, Q, _ = x.shape
     xin = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
@@ -207,13 +208,27 @@ def _layer(
                 "k": write(cache_dict["k"], k[None], (layer_idx, 0, write_at, 0, 0)),
                 "v": write(cache_dict["v"], v[None], (layer_idx, 0, write_at, 0, 0)),
             }
-            k_full = jax.lax.dynamic_index_in_dim(
-                cache_dict["k"], layer_idx, 0, keepdims=False
-            )
-            v_full = jax.lax.dynamic_index_in_dim(
-                cache_dict["v"], layer_idx, 0, keepdims=False
-            )
-            if chunked and Q == 1:
+            if not (paged and Q == 1):
+                k_full = jax.lax.dynamic_index_in_dim(
+                    cache_dict["k"], layer_idx, 0, keepdims=False
+                )
+                v_full = jax.lax.dynamic_index_in_dim(
+                    cache_dict["v"], layer_idx, 0, keepdims=False
+                )
+            if paged and Q == 1:
+                from plangen_tpu.ops.pallas_decode_attention import (
+                    prefix_decode_attention,
+                )
+
+                attn = prefix_decode_attention(
+                    q,
+                    cache_dict["k"],
+                    cache_dict["v"],
+                    attn_mask,
+                    layer_idx,
+                    write_at,
+                )
+            elif chunked and Q == 1:
                 from plangen_tpu.ops.attention import chunked_decode_attention
 
                 attn = chunked_decode_attention(
@@ -262,6 +277,7 @@ def forward(
     remat: bool = False,  # rematerialize each layer (training memory saver)
     use_flash: bool = False,  # Pallas flash attention for the no-cache path
     chunked: bool = False,  # cached decode reads only the valid cache prefix
+    paged: bool = False,  # Pallas prefix-DMA decode attention
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack (final RMSNorm applied, no head).
 
@@ -345,7 +361,7 @@ def forward(
             x, cache = _layer(
                 layer_p, cfg, x, bias, cos, sin, (cache, l), write_at,
                 lora=with_scale(lora_slice), chunked=chunked,
-                attn_mask=attn_mask,
+                attn_mask=attn_mask, paged=paged,
             )
             return x, cache
 

@@ -63,7 +63,7 @@ class ImageGenResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "num_tokens", "quantized_cache", "chunked"),
+    static_argnames=("cfg", "num_tokens", "quantized_cache", "chunked", "paged"),
     donate_argnames=(),
 )
 def generate_image_tokens(
@@ -79,6 +79,7 @@ def generate_image_tokens(
     num_tokens: int = 576,
     quantized_cache: bool = False,  # int8 KV cache (halves decode KV traffic)
     chunked: bool = False,  # decode attention reads only the valid cache prefix
+    paged: bool = False,  # Pallas prefix-DMA decode attention kernel
 ) -> ImageGenResult:
     """Fused CFG image-token generation: prefill + 576-step scan in one program.
 
@@ -91,8 +92,8 @@ def generate_image_tokens(
     B2, L, H = cfg_embeds.shape
     B = B2 // 2
     S_max = L + num_tokens
-    if chunked:
-        # chunked attention slices the cache in 128-slot chunks: round the
+    if chunked or paged:
+        # chunk-based attention slices the cache in 128-slot chunks: round the
         # allocation up and mask the tail off
         S_pad = -(-S_max // 128) * 128
         attn_mask = jnp.concatenate(
@@ -131,6 +132,7 @@ def generate_image_tokens(
             positions=pos,
             kv_cache=cache,
             chunked=chunked,
+            paged=paged,
         )
         return (hidden[:, -1], new_cache, key), token
 

@@ -86,3 +86,56 @@ class TestFlashAttention:
         )(q, k, v)
         for a, b in zip(g, ref_g):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+class TestPrefixDecodeAttention:
+    def test_matches_reference(self):
+        from plangen_tpu.ops.pallas_decode_attention import prefix_decode_attention
+        from plangen_tpu.ops.attention import make_causal_bias
+
+        L, B, S, H, D = 2, 3, 256, 4, 128
+        ks = jax.random.split(KEY, 3)
+        kc = jax.random.normal(ks[0], (L, B, S, H, D), dtype=jnp.float32)
+        vc = jax.random.normal(ks[1], (L, B, S, H, D), dtype=jnp.float32)
+        q = jax.random.normal(ks[2], (B, 1, H, D), dtype=jnp.float32)
+        mask = np.ones((B, S), dtype=np.int32)
+        mask[0, :5] = 0
+        mask = jnp.asarray(mask)
+        for layer, pos in [(0, 6), (1, 127), (1, 128), (0, 255)]:
+            # pos >= 6 so no row has its whole prefix masked (row 0 pads
+            # slots 0-4; an all-masked softmax is undefined in both impls)
+            out = prefix_decode_attention(
+                q, kc, vc, mask, jnp.int32(layer), jnp.int32(pos), interpret=True
+            )
+            bias = make_causal_bias(mask, jnp.array([pos]), jnp.arange(S))
+            ref = dot_product_attention(q, kc[layer], vc[layer], bias=bias)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=3e-5,
+                err_msg=f"layer={layer} pos={pos}",
+            )
+
+    def test_paged_generation_matches_full(self):
+        import functools
+
+        from plangen_tpu.config import PlanGenModelConfig
+        from plangen_tpu.models import vlm
+        from plangen_tpu.runtime.generate import generate_image_tokens
+        import plangen_tpu.ops.pallas_decode_attention as pda
+
+        TINY = PlanGenModelConfig.tiny()
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        ids = jax.random.randint(jax.random.PRNGKey(3), (4, 6), 0, 100)
+        emb = vlm.embed_text(params, ids).astype(jnp.float32)
+        mask = jnp.ones((4, 10), dtype=jnp.int32)
+        kw = dict(
+            rng=KEY, cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(0.0), num_tokens=4,
+        )
+        ref = generate_image_tokens(params, TINY, emb, mask, **kw)
+        orig = pda.prefix_decode_attention
+        pda.prefix_decode_attention = functools.partial(orig, interpret=True)
+        try:
+            out = generate_image_tokens(params, TINY, emb, mask, paged=True, **kw)
+        finally:
+            pda.prefix_decode_attention = orig
+        np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(out.tokens))
