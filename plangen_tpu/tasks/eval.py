@@ -77,6 +77,7 @@ def run_validation(
     os.makedirs(batch_path, exist_ok=True)
 
     results = []
+    per_sample_metrics = []
     n_batches = min(max_len, -(-len(ds) // batch_size)) if max_len != -1 else -(
         -len(ds) // batch_size
     )
@@ -89,7 +90,23 @@ def run_validation(
         _save_batch_artifacts(
             out, samples, task_type, path, batch_path, b, batch_size
         )
+        if task_type in ("plan", "mmu"):
+            # layout metrics: predicted grounding vs GT grounding
+            from plangen_tpu.tasks.metrics import layout_metrics
+
+            for s, pr in zip(samples, out["pr_grounding"]):
+                gt_b, _ = parse_grounding(s.gt_grounding)
+                pr_b, _ = parse_grounding(pr or "")
+                per_sample_metrics.append(layout_metrics(pr_b, gt_b))
         results.append(out)
+
+    if per_sample_metrics:
+        from plangen_tpu.tasks.metrics import aggregate_layout_metrics
+
+        agg = aggregate_layout_metrics(per_sample_metrics)
+        with open(os.path.join(base, f"{global_step}_metrics.json"), "w") as f:
+            json.dump(agg, f, indent=1)
+        print(f"layout metrics: {agg}")
     return results
 
 
