@@ -65,6 +65,7 @@ def run_validation(
     batch_size: int = 2,
     params=None,
     global_step: int = 0,
+    start: int = 0,  # skip the first N batches (reference test_start)
 ) -> List[Dict]:
     pipe = build_pipeline(cfg, params)
     ds = get_dataset(cfg, data_name, is_test=True)
@@ -81,7 +82,7 @@ def run_validation(
     n_batches = min(max_len, -(-len(ds) // batch_size)) if max_len != -1 else -(
         -len(ds) // batch_size
     )
-    for b in range(n_batches):
+    for b in range(start, n_batches):
         samples = [ds[b * batch_size + i] for i in range(batch_size)
                    if b * batch_size + i < len(ds)]
         if not samples:

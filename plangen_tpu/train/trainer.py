@@ -85,6 +85,7 @@ class Trainer:
             f"trainable={counts['trainable']/1e6:.1f}M "
             f"(tuning_mode={tcfg.tuning_mode})"
         )
+        self._dump_trainable_names()
 
         self.flows = tuple(
             (i, f.task_type) for i, f in enumerate(tcfg.train_data)
@@ -105,6 +106,26 @@ class Trainer:
         )
         self.logger = MetricsLogger(tcfg.output_dir)
         self._batch_sharding = batch_sharding(self.mesh)
+
+    def _dump_trainable_names(self):
+        """Write trainable parameter names+shapes to params.jsonl
+        (reference: base_system.py:215-216)."""
+        import json
+
+        import jax
+
+        os.makedirs(self.cfg.train.output_dir, exist_ok=True)
+        path = os.path.join(self.cfg.train.output_dir, "params.jsonl")
+        with open(path, "w") as f:
+            for (kp, leaf), (_, m) in zip(
+                jax.tree_util.tree_leaves_with_path(self.params),
+                jax.tree_util.tree_leaves_with_path(self.mask),
+            ):
+                if m:
+                    name = jax.tree_util.keystr(kp)
+                    f.write(
+                        json.dumps({"name": name, "shape": list(leaf.shape)}) + "\n"
+                    )
 
     # ------------------------------------------------------------------ data
 
