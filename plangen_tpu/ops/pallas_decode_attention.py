@@ -35,9 +35,9 @@ def _kernel(
     k_hbm,  # [L, B, S, Hkv, D] ANY
     v_hbm,  # [L, B, S, Hkv, D] ANY
     o_ref,  # [1, H, D] VMEM out
-    k_buf,  # VMEM (CHUNK, Hkv, D)
-    v_buf,  # VMEM (CHUNK, Hkv, D)
-    sems,  # DMA sems (2,)
+    k_buf,  # VMEM (2, CHUNK, Hkv, D) double buffer
+    v_buf,  # VMEM (2, CHUNK, Hkv, D)
+    sems,  # DMA sems (2, 2)
     *,
     num_heads: int,
     head_dim: int,
@@ -51,22 +51,41 @@ def _kernel(
 
     n_chunks = (q_pos + CHUNK) // CHUNK  # ceil((q_pos+1)/CHUNK)
 
+    def dma(slot, ci):
+        start = ci * CHUNK
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[layer, b, pl.ds(start, CHUNK)], k_buf.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[layer, b, pl.ds(start, CHUNK)], v_buf.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    # double buffering: chunk ci+1's DMA is in flight while ci computes
+    k0, v0 = dma(0, 0)
+    k0.start()
+    v0.start()
+
     def body(ci, carry):
         m, l, acc = carry  # [H, 1], [H, 1], [H, D] fp32
         start = ci * CHUNK
-        cp_k = pltpu.make_async_copy(
-            k_hbm.at[layer, b, pl.ds(start, CHUNK)], k_buf, sems.at[0]
-        )
-        cp_v = pltpu.make_async_copy(
-            v_hbm.at[layer, b, pl.ds(start, CHUNK)], v_buf, sems.at[1]
-        )
-        cp_k.start()
-        cp_v.start()
-        cp_k.wait()
-        cp_v.wait()
+        slot = jax.lax.rem(ci, 2)
 
-        k = k_buf[...]  # [CHUNK, H, D]
-        v = v_buf[...]
+        @pl.when(ci + 1 < n_chunks)
+        def _prefetch():
+            kn, vn = dma(jax.lax.rem(ci + 1, 2), ci + 1)
+            kn.start()
+            vn.start()
+
+        kc_cp, vc_cp = dma(slot, ci)
+        kc_cp.wait()
+        vc_cp.wait()
+
+        k = k_buf[slot]  # [CHUNK, H, D]
+        v = v_buf[slot]
         pos = start + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         msk = mask_ref[0, :, pl.ds(start, CHUNK)]  # [1, CHUNK]
         ok = (msk > 0) & (pos <= q_pos)  # [1, CHUNK]
@@ -151,9 +170,9 @@ def prefix_decode_attention(
                 (1, H, D), lambda b, sp: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((CHUNK, H, D), k_cache.dtype),
-                pltpu.VMEM((CHUNK, H, D), v_cache.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, CHUNK, H, D), k_cache.dtype),
+                pltpu.VMEM((2, CHUNK, H, D), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
         compiler_params=pltpu.CompilerParams(

@@ -111,3 +111,37 @@ class TestEditRegion:
             np.array([[0.4, 0.4, 0.6, 0.6]]), grid=24, pad_edit_box=0.5
         )
         assert r1.sum() > r0.sum()
+
+
+class TestCfgBatchEdge:
+    def test_negative_longer_than_positive(self):
+        """use_neg_box case where the per-sample negative grounding is longer
+        than the positive prompt (reference plangen_base.py:654-670)."""
+        from plangen_tpu.config import GenerationConfig
+        from plangen_tpu.tasks.processor import PlanGenProcessor
+        from plangen_tpu.text.tokenizer import ByteFallbackTokenizer
+
+        tok = ByteFallbackTokenizer(vocab_size=512)
+        proc = PlanGenProcessor(
+            tok, image_tokens=4, gen=GenerationConfig(neg_prompt="bad")
+        )
+        ids, mask = proc.uni_batch(
+            ["a"], ["<grounding><ref>x</ref><box>[1, 2, 3, 4]</box></grounding>"]
+        )
+        neg_g = (
+            "<grounding><ref>clutter clutter clutter clutter clutter</ref>"
+            "<box>[1, 2, 3, 4]</box></grounding>"
+        )
+        cfg_ids, cfg_mask = proc.cfg_batch(
+            ids, mask, neg_captions=[""], neg_groundings=[neg_g]
+        )
+        assert cfg_ids.shape[0] == 2
+        assert cfg_mask.shape[1] == cfg_ids.shape[1] + 4
+        dec0 = tok.decode(cfg_ids[0], skip_special_tokens=True)
+        dec1 = tok.decode(cfg_ids[1], skip_special_tokens=True)
+        assert "x" in dec0 and "clutter" not in dec0
+        assert "clutter" in dec1
+        pad_id = tok.special.pad_id
+        n_pad0 = int((np.asarray(cfg_ids[0]) == pad_id).sum())
+        assert (np.asarray(cfg_mask[0][:n_pad0]) == 0).all()
+        assert np.asarray(cfg_mask[:, -4:]).all()
