@@ -140,8 +140,8 @@ def _layer(
     bias: jax.Array,
     cos: jax.Array,
     sin: jax.Array,
-    cache: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
-    # (k_cache, v_cache, layer_idx): FULL stacked caches [L, B, S, Hkv, D]
+    cache: Optional[Tuple[Dict[str, jax.Array], jax.Array]],
+    # (cache_dict, layer_idx): the FULL stacked cache (runtime.kvcache layout)
     write_at,  # scalar start index for cache writes
     lora: Optional[Params] = None,  # per-layer LoRA slices
     flash_mask: Optional[jax.Array] = None,  # [B, Q] pad mask -> Pallas flash path

@@ -174,11 +174,7 @@ class PlanGenProcessor:
         pos_ids, pos_mask, neg_ids, neg_mask = pad_to_common_length(
             uni_ids, text_mask, neg_rows, self.tok.special.pad_id
         )
-        pos_mask_i = extend_mask_for_image(pos_mask, self.image_tokens)
-        neg_mask_i = extend_mask_for_image(neg_mask, self.image_tokens)
-        ids, mask = interleave_cfg(pos_ids, pos_mask_i[:, : pos_ids.shape[1]], neg_ids,
-                                   neg_mask_i[:, : neg_ids.shape[1]])
-        # re-extend after interleave (interleave works on equal-width arrays)
+        ids, mask = interleave_cfg(pos_ids, pos_mask, neg_ids, neg_mask)
         mask = extend_mask_for_image(mask, self.image_tokens)
         if parallel_size > 1:
             ids = np.concatenate([ids] * parallel_size, axis=0)
