@@ -156,6 +156,10 @@ def greedy_decode_text(
     """Greedy KV-cached text decode; rows that hit EOS keep emitting EOS.
 
     Matches x2t (plangen_base.py:513-523): greedy over lm_head, pad with EOS.
+    A `while_loop` exits as soon as EVERY row has emitted EOS — layout plans
+    typically finish in tens of tokens, so this skips most of the 512-step
+    budget (HF generate stops the same way via its stopping criteria).
+    The output buffer is pre-filled with EOS so skipped steps read as padding.
     Returns [B, max_new_tokens] int32.
     """
     B, L, H = inputs_embeds.shape
@@ -163,17 +167,25 @@ def greedy_decode_text(
     cache = init_kv_cache(cfg.llama, B, S_max, dtype=inputs_embeds.dtype)
     last_hidden, cache = prefill(params, cfg, inputs_embeds, attn_mask, cache)
 
-    def step(carry, i):
-        last_hidden, cache, done = carry
+    tokens0 = jnp.full((B, max_new_tokens), eos_id, dtype=jnp.int32)
+    done0 = jnp.zeros((B,), dtype=bool)
+
+    def cond(state):
+        i, _, _, done, _ = state
+        return (i < max_new_tokens) & jnp.logical_not(jnp.all(done))
+
+    def body(state):
+        i, last_hidden, cache, done, tokens = state
         logits = llama.lm_head(params["language_model"], last_hidden)  # [B, V] fp32
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         token = jnp.where(done, eos_id, token)
         done = done | (token == eos_id)
+        tokens = jax.lax.dynamic_update_slice(tokens, token[:, None], (0, i))
         next_embeds = vlm.embed_text(params, token[:, None]).astype(
             inputs_embeds.dtype
         )
-        pos = jnp.array([L + i], dtype=jnp.int32)
-        hidden, new_cache = llama.forward(
+        pos = jnp.array([L], dtype=jnp.int32) + i
+        hidden, cache = llama.forward(
             params["language_model"],
             cfg.llama,
             next_embeds,
@@ -181,10 +193,9 @@ def greedy_decode_text(
             positions=pos,
             kv_cache=cache,
         )
-        return (hidden[:, -1], new_cache, done), token
+        return (i + 1, hidden[:, -1], cache, done, tokens)
 
-    done0 = jnp.zeros((B,), dtype=bool)
-    (_, _, _), tokens = jax.lax.scan(
-        step, (last_hidden, cache, done0), jnp.arange(max_new_tokens, dtype=jnp.int32)
+    _, _, _, _, tokens = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), last_hidden, cache, done0, tokens0)
     )
-    return tokens.T  # [B, max_new]
+    return tokens

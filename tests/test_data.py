@@ -261,3 +261,40 @@ class TestIoUCrop:
         rng = np.random.RandomState(0)
         img = np.zeros((64, 64, 3), dtype=np.uint8)
         assert iou_sample_crop(img, np.zeros((0, 4)), [], rng) is None
+
+
+class TestRemovalEvalE2E:
+    def test_rm_eval_with_fixtures(self, tmp_path):
+        """Full removal-mode eval: fixture coco_200 dir -> teacher-forced
+        regeneration with clutter negative grounding -> artifacts."""
+        from PIL import Image
+
+        hw = TINY.vision.image_size
+        root = tmp_path / "coco200"
+        for sub in ["image", "mask", "box", "box_new"]:
+            os.makedirs(root / sub)
+        for i in range(2):
+            Image.new("RGB", (hw, hw), (90, 120, 60)).save(root / "image" / f"{i}.png")
+            m = np.zeros((24, 24), dtype=np.uint8)
+            m[8:16, 8:16] = 255
+            Image.fromarray(m).save(root / "mask" / f"{i}.png")
+            with open(root / "box" / f"{i}.json", "w") as f:
+                json.dump({"obj_bbox": [0.3, 0.3, 0.7, 0.7], "obj_class": "cat"}, f)
+            with open(root / "box_new" / f"{i}.json", "w") as f:
+                json.dump({"obj_bbox": [0.3, 0.3, 0.7, 0.7], "obj_class": "cat"}, f)
+
+        cfg = tiny_cfg(**{
+            "coco_200_path": str(root),
+            "generation.use_teacher_forcing": True,
+            "generation.use_neg_box": True,
+            "generation.max_new_text_tokens": 4,
+        })
+        from plangen_tpu.tasks.eval import run_validation
+
+        out = run_validation(
+            cfg, task_type="rm", data_name="rm_coco", max_len=1,
+            output_dir=str(tmp_path / "out"), batch_size=2,
+        )
+        assert len(out) == 1
+        assert out[0]["pr_image"].shape == (2, hw, hw, 3)
+        assert (tmp_path / "out" / "rm_coco_rm_1" / "0" / "pr_image" / "0.png").exists()
