@@ -240,6 +240,7 @@ class TrainConfig:
     gradient_checkpointing: bool = False
     use_flash_attention: bool = False  # Pallas flash kernel in training forwards
     use_local_edit_loss: bool = False  # restrict image CE to the edit region
+    master_dtype: str = "float32"  # 'bfloat16' halves param memory (LoRA finetune)
     max_seq_len: int = 700
     optim: OptimConfig = field(default_factory=OptimConfig)
     train_data: Tuple[FlowConfig, ...] = (FlowConfig(),)

@@ -147,10 +147,20 @@ def make_train_step(
     return train_step
 
 
-def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainState:
+def init_train_state(
+    params: Params,
+    tx: optax.GradientTransformation,
+    master_dtype=jnp.float32,
+) -> TrainState:
+    """Build the train state. `master_dtype=jnp.bfloat16` halves parameter
+    memory for single-chip finetuning (e.g. LoRA, where the frozen base never
+    receives updates and optax.masked allocates moments only for trainable
+    leaves); full-precision masters stay the default for from-scratch/stage
+    training."""
+    params = _cast(params, master_dtype)
     return TrainState(
-        params=_cast(params, jnp.float32),
-        opt_state=tx.init(_cast(params, jnp.float32)),
+        params=params,
+        opt_state=tx.init(params),
         step=jnp.zeros((), dtype=jnp.int32),
     )
 

@@ -98,7 +98,10 @@ class Trainer:
             pad_id=self.tokenizer.special.pad_id,
             flows=self.flows,
         )
-        self.state = init_train_state(self.params, tx)
+        import jax.numpy as _jnp
+
+        master_dtype = getattr(_jnp, getattr(tcfg, "master_dtype", "float32"))
+        self.state = init_train_state(self.params, tx, master_dtype=master_dtype)
 
         self.ckpt = PlanGenCheckpointer(
             os.path.join(tcfg.output_dir, "checkpoints"),
