@@ -185,6 +185,7 @@ class PlanGenPipeline:
             rng=rng,
             cfg_weight=jnp.float32(self.gen.cfg_weight),
             temperature=jnp.float32(self.gen.temperature),
+            quantized_cache=(self.gen.quantize == "int8"),
             gt_tokens=gt_tokens,
             regen_mask=regen,
             num_tokens=n_img,
