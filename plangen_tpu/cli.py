@@ -70,6 +70,30 @@ def cmd_eval(args) -> None:
     )
 
 
+def cmd_convert(args) -> None:
+    """Convert a local Janus-Pro torch checkpoint (+ optional PlanGen
+    finetune overlay) into an orbax params artifact."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from plangen_tpu.config import PlanGenModelConfig
+    from plangen_tpu.convert.torch_to_jax import load_janus_checkpoint
+
+    cfg = PlanGenModelConfig()
+    params = load_janus_checkpoint(
+        args.janus_path, cfg, finetune_path=args.finetune
+    )
+    params = jax.tree_util.tree_map(jax.numpy.asarray, params)
+    ckptr = ocp.StandardCheckpointer()
+    import os
+
+    out = os.path.abspath(args.out)
+    ckptr.save(out, params)
+    ckptr.wait_until_finished()
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(json.dumps({"saved": out, "params_m": round(n / 1e6, 1)}))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="plangen_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -89,6 +113,13 @@ def main(argv=None) -> None:
     pe.add_argument("--max-len", type=int, default=20)
     pe.add_argument("--output", default="out/eval")
     pe.set_defaults(fn=cmd_eval)
+
+    pc = sub.add_parser("convert", help="torch Janus checkpoint -> orbax params")
+    pc.add_argument("--janus-path", required=True)
+    pc.add_argument("--finetune", default=None,
+                    help="trainable_model_parameters.pth overlay")
+    pc.add_argument("--out", default="converted_params")
+    pc.set_defaults(fn=cmd_convert)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -303,3 +303,26 @@ def synth_state_dict(cfg: PlanGenModelConfig):
     add_gn(g + "decoder.norm_out", c)
     add_conv(g + "decoder.conv_out", c, q.out_channels)
     return sd
+
+
+class TestConvertCLI:
+    def test_convert_subcommand(self, tmp_path, monkeypatch):
+        """convert CLI: synthetic safetensors checkpoint -> orbax artifact."""
+        from safetensors.numpy import save_file
+
+        import plangen_tpu.config as config
+        from plangen_tpu.cli import main
+
+        tiny = PlanGenModelConfig.tiny()
+        monkeypatch.setattr(config, "PlanGenModelConfig", lambda: tiny)
+
+        sd = synth_state_dict(tiny)
+        ckpt_dir = tmp_path / "janus"
+        ckpt_dir.mkdir()
+        save_file(
+            {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()},
+            str(ckpt_dir / "model.safetensors"),
+        )
+        out = tmp_path / "params_out"
+        main(["convert", "--janus-path", str(ckpt_dir), "--out", str(out)])
+        assert out.exists()
