@@ -244,6 +244,11 @@ class TrainConfig:
     max_seq_len: int = 700
     optim: OptimConfig = field(default_factory=OptimConfig)
     train_data: Tuple[FlowConfig, ...] = (FlowConfig(),)
+    # validation workload (reference cfg `test_data`)
+    test_data: FlowConfig = field(
+        default_factory=lambda: FlowConfig(task_type="uni", data_name="toy",
+                                           batch_size=1)
+    )
     # loss scales: map loss-key substring -> multiplier; plan_lr_scale applies to
     # every '*lm*' loss key (reference forward: plangen_base.py:1077-1084)
     loss_scales: Dict[str, float] = field(default_factory=dict)

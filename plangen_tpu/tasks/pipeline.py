@@ -71,12 +71,16 @@ class PlanGenPipeline:
         model_cfg: PlanGenModelConfig,
         processor: PlanGenProcessor,
         gen_cfg: Optional[GenerationConfig] = None,
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=None,
     ):
         self.params = params
         self.cfg = model_cfg
         self.proc = processor
         self.gen = gen_cfg or processor.gen
+        if compute_dtype is None:
+            # follow the parameters' dtype (fp32 masters during training
+            # validation, bf16 for serving) so loop carries stay type-stable
+            compute_dtype = params["language_model"]["embed_tokens"].dtype
         self.dtype = compute_dtype
         # image-token grid is defined by the VQ downsampling (24 at 384px);
         # equals the SigLIP patch grid for the real config (both 16x)

@@ -194,16 +194,18 @@ class Trainer:
         return last_metrics
 
     def validate(self, step: int, params=None, max_len: int = 1) -> None:
-        """Run the eval harness on the test task (reference validation cadence,
-        train.py:208-210)."""
+        """Run the eval harness on the configured test workload (reference
+        validation cadence + `test_data` cfg, train.py:208-210)."""
         from plangen_tpu.tasks.eval import run_validation
 
+        td = self.cfg.train.test_data
         run_validation(
             self.cfg,
-            task_type="uni",
-            data_name="toy",
+            task_type=td.task_type,
+            data_name=td.data_name,
             max_len=max_len,
             output_dir=os.path.join(self.cfg.train.output_dir, "val"),
+            batch_size=td.batch_size,
             params=params if params is not None else self.state.params,
             global_step=step,
         )
