@@ -190,6 +190,7 @@ class GenerationConfig:
     use_neg_box: bool = False
     pad_edit_box: float = 0.0
     quantize: Optional[str] = None  # 'int8' = weight-only int8 decode path
+    fast_edit: bool = False  # prefill frozen runs during teacher-forced editing
     # long negative prompt, cfg/base.py `neg_prompt`
     neg_prompt: str = (
         "low quality, jpeg artifacts, ugly, duplicate, morbid, mutilated, extra "

@@ -116,7 +116,10 @@ def generate_image_tokens(
         last_hidden, cache, key = carry
         logits = vlm.image_gen_logits(params, last_hidden)  # [2B, V] fp32
         combined = cfg_combine(logits, cfg_weight)  # [B, V]
-        key, sub = jax.random.split(key)
+        # positional fold_in (not sequential splits): the sampled stream is
+        # then invariant to how frozen runs are batched, so the fast-edit
+        # path (runtime/fast_edit.py) is token-identical to this loop
+        sub = jax.random.fold_in(key, i)
         token = sample_categorical(sub, combined, temperature)  # [B]
         token = apply_teacher_forcing(token, gt_tokens[:, i], regen_mask[:, i])
         # duplicate for cond/uncond rows (plangen_base.py:602-604)

@@ -181,6 +181,35 @@ class PlanGenPipeline:
             self.dtype
         )
         rng = jax.random.PRNGKey(self.gen.seed if seed is None else seed)
+        if self.gen.fast_edit and gt_tokens is not None:
+            # frozen runs prefilled in one pass (token-identical; one compile
+            # per distinct chunk schedule — see runtime/fast_edit.py)
+            from plangen_tpu.runtime.fast_edit import (
+                frozen_chunk_schedule,
+                generate_image_tokens_fast_edit,
+            )
+
+            schedule = frozen_chunk_schedule(np.asarray(regen))
+            result = generate_image_tokens_fast_edit(
+                self.params,
+                self.cfg,
+                embeds,
+                jnp.asarray(cfg_mask),
+                rng=rng,
+                cfg_weight=jnp.float32(self.gen.cfg_weight),
+                temperature=jnp.float32(self.gen.temperature),
+                gt_tokens=gt_tokens,
+                regen_mask=regen,
+                num_tokens=n_img,
+                schedule=schedule,
+            )
+            images = _vq_decode(self.params, self.cfg, result.tokens, self.grid)
+            return GenerationOutput(
+                images=np.asarray(images, dtype=np.float32),
+                image_tokens=np.asarray(result.tokens),
+                groundings=list(groundings),
+                edit_mask=edit_mask_out,
+            )
         result = generate_image_tokens(
             self.params,
             self.cfg,

@@ -1,0 +1,78 @@
+"""Fast teacher-forced editing: token-identical to the sequential loop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plangen_tpu.config import PlanGenModelConfig
+from plangen_tpu.models import vlm
+from plangen_tpu.runtime.fast_edit import (
+    frozen_chunk_schedule,
+    generate_image_tokens_fast_edit,
+)
+from plangen_tpu.runtime.generate import generate_image_tokens
+
+TINY = PlanGenModelConfig.tiny()
+KEY = jax.random.PRNGKey(0)
+
+
+class TestSchedule:
+    def test_all_frozen(self):
+        s = frozen_chunk_schedule(np.zeros((2, 32), dtype=np.int32))
+        assert s == (True, True)
+
+    def test_mixed(self):
+        m = np.zeros((2, 32), dtype=np.int32)
+        m[0, 20] = 1
+        assert frozen_chunk_schedule(m) == (True, False)
+
+    def test_ragged_tail(self):
+        s = frozen_chunk_schedule(np.zeros((1, 20), dtype=np.int32))
+        assert len(s) == 2
+
+
+class TestFastEdit:
+    def _setup(self, N=64):
+        params = vlm.init(jax.random.PRNGKey(42), TINY, dtype=jnp.float32)
+        B, L = 2, 6
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2 * B, L), 0, 100)
+        emb = vlm.embed_text(params, ids).astype(jnp.float32)
+        mask = jnp.ones((2 * B, L + N), dtype=jnp.int32)
+        gt = jax.random.randint(
+            jax.random.PRNGKey(4), (B, N), 0, TINY.image_token_size
+        )
+        return params, emb, mask, gt, B, N
+
+    def test_token_identical_mixed_mask(self):
+        params, emb, mask, gt, B, N = self._setup()
+        regen = np.zeros((B, N), dtype=np.int32)
+        regen[:, 20:28] = 1
+        regen[:, 40:44] = 1
+        kw = dict(
+            rng=jax.random.PRNGKey(7),
+            cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(1.0),
+        )
+        ref = generate_image_tokens(
+            params, TINY, emb, mask,
+            gt_tokens=gt, regen_mask=jnp.asarray(regen), num_tokens=N, **kw
+        )
+        fast = generate_image_tokens_fast_edit(
+            params, TINY, emb, mask,
+            gt_tokens=gt, regen_mask=jnp.asarray(regen), num_tokens=N,
+            schedule=frozen_chunk_schedule(regen), **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.tokens), np.asarray(fast.tokens)
+        )
+
+    def test_all_frozen_equals_gt(self):
+        params, emb, mask, gt, B, N = self._setup()
+        regen = np.zeros((B, N), dtype=np.int32)
+        fast = generate_image_tokens_fast_edit(
+            params, TINY, emb, mask,
+            rng=KEY, cfg_weight=jnp.float32(5.0), temperature=jnp.float32(1.0),
+            gt_tokens=gt, regen_mask=jnp.asarray(regen), num_tokens=N,
+            schedule=frozen_chunk_schedule(regen),
+        )
+        np.testing.assert_array_equal(np.asarray(fast.tokens), np.asarray(gt))

@@ -14,7 +14,9 @@ from plangen_tpu.config import PlanGenModelConfig
 from plangen_tpu.models import vlm
 from plangen_tpu.runtime.generate import generate_image_tokens, greedy_decode_text
 
-GOLDEN_IMAGE_TOKENS = [[8, 0, 52, 4]]
+# regenerated 2026-08-16: image-loop RNG moved from sequential splits to
+# positional fold_in (enables the token-identical fast-edit path)
+GOLDEN_IMAGE_TOKENS = [[34, 8, 3, 31]]
 GOLDEN_TEXT_TOKENS = [[237, 358, 110, 389, 184, 115]]
 
 
