@@ -84,7 +84,14 @@ def main() -> None:
         # platform block_until_ready() returns before execution completes
         return np.asarray(out.tokens)
 
-    run(0)  # compile
+    try:
+        run(0)  # compile
+    except Exception as e:  # e.g. HBM exhaustion on other chip variants
+        sys.stderr.write(f"bench: B={B} failed ({type(e).__name__}); retrying B=16\n")
+        B = 16
+        cfg_embeds = cfg_embeds[: 2 * B]
+        mask = mask[: 2 * B]
+        run(0)
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()

@@ -51,7 +51,7 @@ def frozen_chunk_schedule(regen_mask: np.ndarray, chunk: int = CHUNK) -> Tuple[b
     return tuple(bool(x) for x in (chunks.sum(axis=(0, 2)) == 0))
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_tokens", "schedule"))
+@partial(jax.jit, static_argnames=("cfg", "num_tokens", "schedule", "quantized_cache"))
 def generate_image_tokens_fast_edit(
     params: Params,
     cfg: PlanGenModelConfig,
@@ -64,6 +64,7 @@ def generate_image_tokens_fast_edit(
     regen_mask: jax.Array,  # [B, num_tokens] (1 = sample)
     num_tokens: int = 576,
     schedule: Tuple[bool, ...] = (),  # from frozen_chunk_schedule
+    quantized_cache: bool = False,
 ) -> ImageGenResult:
     """Teacher-forced generation with frozen chunks processed prefill-style.
 
@@ -74,7 +75,9 @@ def generate_image_tokens_fast_edit(
     B = B2 // 2
     S_max = L + num_tokens
     assert len(schedule) == -(-num_tokens // CHUNK)
-    cache = init_kv_cache(cfg.llama, B2, S_max, dtype=cfg_embeds.dtype)
+    cache = init_kv_cache(
+        cfg.llama, B2, S_max, dtype=cfg_embeds.dtype, quantized=quantized_cache
+    )
 
     last_hidden, cache = prefill(params, cfg, cfg_embeds, attn_mask, cache)
 

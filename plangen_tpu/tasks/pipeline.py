@@ -202,6 +202,7 @@ class PlanGenPipeline:
                 regen_mask=regen,
                 num_tokens=n_img,
                 schedule=schedule,
+                quantized_cache=(self.gen.quantize == "int8"),
             )
             images = _vq_decode(self.params, self.cfg, result.tokens, self.grid)
             return GenerationOutput(

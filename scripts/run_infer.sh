@@ -12,9 +12,11 @@ case "$MODE" in
   plan)       python -m plangen_tpu.cli eval --task plan       --data creati "$@" ;;
   # removal: teacher forcing + per-sample clutter negative grounding
   rm)         python -m plangen_tpu.cli eval --task rm  --data rm_coco \
-                --opt generation.use_teacher_forcing=True generation.use_neg_box=True "$@" ;;
+                --opt generation.use_teacher_forcing=True generation.use_neg_box=True \
+                      generation.fast_edit=True "$@" ;;
   # editing: teacher forcing, dilated edit boxes
   edit)       python -m plangen_tpu.cli eval --task edit --data edit_coco \
-                --opt generation.use_teacher_forcing=True generation.pad_edit_box=0.1 "$@" ;;
+                --opt generation.use_teacher_forcing=True generation.pad_edit_box=0.1 \
+                      generation.fast_edit=True "$@" ;;
   *) echo "unknown mode $MODE"; exit 1 ;;
 esac
