@@ -76,3 +76,34 @@ class TestFastEdit:
             schedule=frozen_chunk_schedule(regen),
         )
         np.testing.assert_array_equal(np.asarray(fast.tokens), np.asarray(gt))
+
+
+class TestPipelineFastEdit:
+    def test_pipeline_fast_edit_matches_standard(self):
+        from plangen_tpu.config import GenerationConfig
+        from plangen_tpu.tasks.pipeline import PlanGenPipeline
+        from plangen_tpu.tasks.processor import PlanGenProcessor
+        from plangen_tpu.text.tokenizer import ByteFallbackTokenizer
+
+        tok = ByteFallbackTokenizer(vocab_size=TINY.llama.vocab_size)
+        params = vlm.init(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+        size = TINY.vision.image_size
+        gt = np.asarray(
+            jax.random.uniform(KEY, (1, size, size, 3), minval=-1.0, maxval=1.0)
+        )
+        region = np.zeros((1, TINY.image_seq_len), dtype=np.int32)
+        region[0, 1] = 1  # one sampled position
+        g = "<grounding><ref>x</ref><box>[0, 0, 500, 500]</box></grounding>"
+
+        outs = {}
+        for fast in [False, True]:
+            proc = PlanGenProcessor(
+                tok,
+                image_tokens=TINY.image_seq_len,
+                gen=GenerationConfig(max_new_text_tokens=4, fast_edit=fast),
+            )
+            pipe = PlanGenPipeline(params, TINY, proc)
+            outs[fast] = pipe.edit_image(["scene"], [g], gt, region, seed=5)
+        np.testing.assert_array_equal(
+            outs[False].image_tokens, outs[True].image_tokens
+        )
