@@ -63,6 +63,8 @@ def _kernel(
     k0.start()
     v0.start()
 
+    R = ROW_BLOCK
+
     def body(ci, carry):
         m, l, acc = carry  # [R, H, 1], [R, H, 1], [R, H, D]
         start = ci * CHUNK
@@ -80,13 +82,16 @@ def _kernel(
 
         k = k_buf[slot]  # [R, CHUNK, H, D]
         v = v_buf[slot]
-        kt = jnp.swapaxes(k, 1, 2)  # [R, H, CHUNK, D]
+        # flatten (R, H) into one batch dim — Mosaic lowers single-batch
+        # matmuls only — and match operand dtypes
+        kt = jnp.swapaxes(k, 1, 2).reshape(R * num_heads, CHUNK, head_dim)
+        qf = q.reshape(R * num_heads, 1, head_dim).astype(k.dtype)
         s = jax.lax.dot_general(
-            q[:, :, None, :],
+            qf,
             kt,
-            (((3,), (3,)), ((0, 1), (0, 1))),
+            (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )[:, :, 0, :]  # [R, H, CHUNK]
+        ).reshape(R, num_heads, CHUNK)
 
         pos = start + jax.lax.broadcasted_iota(jnp.int32, (1, 1, CHUNK), 2)
         msk = mask_ref[:, :, pl.ds(start, CHUNK)]  # [R, 1, CHUNK]
@@ -98,16 +103,15 @@ def _kernel(
         alpha = jnp.exp(m - m_n)
         p = jnp.exp(s - m_n)
         l_n = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        vt = jnp.swapaxes(v, 1, 2)  # [R, H, CHUNK, D]
+        vt = jnp.swapaxes(v, 1, 2).reshape(R * num_heads, CHUNK, head_dim)
         pv = jax.lax.dot_general(
-            p[:, :, None, :].astype(v.dtype),
+            p.reshape(R * num_heads, 1, CHUNK).astype(v.dtype),
             vt,
-            (((3,), (2,)), ((0, 1), (0, 1))),
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )[:, :, 0, :]
+        ).reshape(R, num_heads, head_dim)
         return m_n, l_n, acc * alpha + pv
 
-    R = ROW_BLOCK
     m0 = jnp.full((R, num_heads, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((R, num_heads, 1), jnp.float32)
     a0 = jnp.zeros((R, num_heads, head_dim), jnp.float32)
