@@ -28,6 +28,8 @@ class ConcatDataset:
         return self._total
 
     def __getitem__(self, idx: int):
+        if idx < 0 or idx >= self._total:
+            raise IndexError(idx)
         for ds, off in zip(reversed(self.datasets), reversed(self._offsets)):
             if idx >= off:
                 return ds[idx - off]

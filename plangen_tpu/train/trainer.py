@@ -134,14 +134,18 @@ class Trainer:
 
     def build_dataloader(self):
         tcfg = self.cfg.train
+        # flow batch_size is PER data-parallel shard (the reference's per-GPU
+        # batch, cfg train_data); the global batch scales with the dp size
+        dp = self.mesh.shape.get("data", 1)
         loaders = {}
         for fid, flow in enumerate(tcfg.train_data):
             ds = get_dataset(self.cfg, flow.data_name, is_test=False)
+            global_bs = flow.batch_size * dp
             loaders[fid] = BatchLoader(
-                ds, flow.batch_size, shuffle=True, seed=tcfg.seed + fid
+                ds, global_bs, shuffle=True, seed=tcfg.seed + fid
             )
             print(f"flow {fid}: task={flow.task_type} data={flow.data_name} "
-                  f"len={len(ds)} bs={flow.batch_size}")
+                  f"len={len(ds)} bs={flow.batch_size}x{dp}")
         return CombinedLoader(loaders)
 
     def _device_batches(self, flow_samples):
@@ -190,7 +194,8 @@ class Trainer:
                 self.ckpt.save(step + 1, self.state)
             if validate_fn is not None and (step + 1) % tcfg.validation_steps == 0:
                 validate_fn(step + 1, self.state.params)
-        self.ckpt.save(max_steps, self.state, force=True)
+        if self.ckpt.latest_step() != max_steps:
+            self.ckpt.save(max_steps, self.state, force=True)
         return last_metrics
 
     def validate(self, step: int, params=None, max_len: int = 1) -> None:

@@ -298,3 +298,26 @@ class TestRemovalEvalE2E:
         assert len(out) == 1
         assert out[0]["pr_image"].shape == (2, hw, hw, 3)
         assert (tmp_path / "out" / "rm_coco_rm_1" / "0" / "pr_image" / "0.png").exists()
+
+
+class TestLoaderEdges:
+    def test_drop_last_false(self):
+        ds = ToyDataset(size=5, image_hw=16)
+        bl = BatchLoader(ds, 2, drop_last=False, shuffle=False)
+        batches = list(bl)
+        assert [len(b) for b in batches] == [2, 2, 1]
+
+    def test_concat_index_error(self):
+        c = ConcatDataset([ToyDataset(size=2, image_hw=16)])
+        with pytest.raises(IndexError):
+            c[5]
+
+    def test_io_helpers(self, tmp_path):
+        from plangen_tpu.utils.io import load_json, load_jsonl, save_json, save_jsonl
+
+        p = tmp_path / "x.json"
+        save_json(str(p), {"a": 1})
+        assert load_json(str(p)) == {"a": 1}
+        p2 = tmp_path / "x.jsonl"
+        save_jsonl(str(p2), [{"b": 2}, {"c": 3}])
+        assert load_jsonl(str(p2)) == [{"b": 2}, {"c": 3}]

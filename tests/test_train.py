@@ -221,3 +221,28 @@ class TestRemat:
             _, metrics = step(state, batches)
             results[remat] = float(metrics["loss"])
         np.testing.assert_allclose(results[False], results[True], rtol=1e-6)
+
+
+class TestTrainerResume:
+    def test_resume_from_latest(self, tmp_path):
+        """fit 2 steps -> new Trainer -> maybe_resume picks up step 2
+        (reference resume='latest', base_system.py:127-164)."""
+        from plangen_tpu.cli import load_config
+        from plangen_tpu.train.trainer import Trainer
+
+        opts = [
+            f"train.output_dir={tmp_path}/run",
+            "train.checkpointing_steps=2",
+            "generation.max_new_text_tokens=4",
+        ]
+        cfg = load_config("configs/toy_smoke.py", opts)
+        t1 = Trainer(cfg)
+        t1.fit(max_steps=2)
+        assert t1.ckpt.latest_step() == 2
+
+        t2 = Trainer(cfg)
+        start = t2.maybe_resume()
+        assert start == 2
+        q1 = np.asarray(t1.state.params["language_model"]["layers"]["q_proj"])
+        q2 = np.asarray(t2.state.params["language_model"]["layers"]["q_proj"])
+        np.testing.assert_array_equal(q1, q2)
