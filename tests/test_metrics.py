@@ -48,3 +48,31 @@ class TestMetrics:
             [{"miou": 1.0}, {"miou": 0.0}]
         )
         assert agg["miou"] == 0.5
+
+
+class TestVisualize:
+    def test_draw_layout(self):
+        from plangen_tpu.utils.visualize import draw_layout
+
+        img = np.zeros((64, 64, 3), dtype=np.uint8)
+        out = draw_layout(img, [(0.1, 0.1, 0.6, 0.6)], ["a cat"])
+        assert out.shape == (64, 64, 3)
+        assert out.sum() > 0  # something was drawn
+
+    def test_draw_layout_float_input(self):
+        from plangen_tpu.utils.visualize import draw_layout
+
+        img = np.zeros((32, 32, 3), dtype=np.float32) - 1.0  # [-1,1] black
+        out = draw_layout(img, [(0, 0, 1, 1)], None)
+        assert out.dtype == np.uint8
+
+    def test_save_image_grid(self, tmp_path):
+        from plangen_tpu.utils.visualize import save_image_grid
+
+        imgs = [np.full((8, 8, 3), c, dtype=np.uint8) for c in [0, 128, 255]]
+        path = tmp_path / "grid.png"
+        save_image_grid(imgs, str(path), cols=2)
+        from PIL import Image
+
+        g = np.asarray(Image.open(path))
+        assert g.shape == (16, 16, 3)  # 2x2 grid of 8x8 (one cell padding)
