@@ -168,3 +168,66 @@ class TestSigLIPBlockVsTorch:
         h = TF.gelu(h @ t(f1w).T + t(f1b))
         ref = (xt + (h @ t(f2w).T + t(f2b))).numpy()
         np.testing.assert_allclose(ours, ref, atol=3e-5)
+
+
+class TestSigLIPFullForwardVsTorch:
+    def test_full_tower(self):
+        """Patch-embed conv + pos embed + pre-norm block + final LN, end to
+        end, through the converter's layout transforms."""
+        cfg = SigLIPConfig(image_size=32, patch_size=16, width=16, layers=1, heads=2)
+        d = cfg.width
+        mlp = int(d * cfg.mlp_ratio)
+
+        def lin(cin, cout):
+            w = RS.randn(cout, cin).astype(np.float32) * 0.2
+            b = RS.randn(cout).astype(np.float32) * 0.1
+            return w, b
+
+        pw_conv, pb_conv = conv_params(3, d, 16)  # OIHW patch conv
+        pos = RS.randn(1, cfg.num_patches, d).astype(np.float32) * 0.02
+        n1s, n1b = gn_params(d)
+        qkvw, qkvb = lin(d, 3 * d)
+        prw, prb = lin(d, d)
+        n2s, n2b = gn_params(d)
+        f1w, f1b = lin(d, mlp)
+        f2w, f2b = lin(mlp, d)
+        fns, fnb = gn_params(d)
+
+        # converter-mapped params (conv OIHW->HWIO, linear [out,in]->[in,out])
+        params = {
+            "patch_embed": {
+                "w": jnp.asarray(pw_conv.transpose(2, 3, 1, 0)),
+                "b": jnp.asarray(pb_conv),
+            },
+            "pos_embed": jnp.asarray(pos),
+            "final_norm": {"scale": jnp.asarray(fns), "bias": jnp.asarray(fnb)},
+            "blocks": [
+                {
+                    "norm1": {"scale": jnp.asarray(n1s), "bias": jnp.asarray(n1b)},
+                    "qkv": {"w": jnp.asarray(qkvw.T), "b": jnp.asarray(qkvb)},
+                    "proj": {"w": jnp.asarray(prw.T), "b": jnp.asarray(prb)},
+                    "norm2": {"scale": jnp.asarray(n2s), "bias": jnp.asarray(n2b)},
+                    "fc1": {"w": jnp.asarray(f1w.T), "b": jnp.asarray(f1b)},
+                    "fc2": {"w": jnp.asarray(f2w.T), "b": jnp.asarray(f2b)},
+                }
+            ],
+        }
+        img = RS.randn(2, 32, 32, 3).astype(np.float32)
+        ours = np.asarray(siglip.forward(params, cfg, jnp.asarray(img)))
+
+        # torch reference composition (timm VisionTransformer semantics)
+        xt = t(img).permute(0, 3, 1, 2)
+        h = TF.conv2d(xt, t(pw_conv), t(pb_conv), stride=16)  # [B, d, 2, 2]
+        B = h.shape[0]
+        h = h.flatten(2).transpose(1, 2)  # [B, 4, d] row-major patches
+        h = h + t(pos)
+        # block
+        hn = TF.layer_norm(h, (d,), t(n1s), t(n1b), eps=1e-6)
+        qkv = (hn @ t(qkvw).T + t(qkvb)).reshape(B, 4, 3, 2, d // 2).permute(2, 0, 3, 1, 4)
+        attn = TF.scaled_dot_product_attention(qkv[0], qkv[1], qkv[2])
+        attn = attn.transpose(1, 2).reshape(B, 4, d)
+        h = h + (attn @ t(prw).T + t(prb))
+        hn = TF.layer_norm(h, (d,), t(n2s), t(n2b), eps=1e-6)
+        h = h + (TF.gelu(hn @ t(f1w).T + t(f1b)) @ t(f2w).T + t(f2b))
+        ref = TF.layer_norm(h, (d,), t(fns), t(fnb), eps=1e-6).numpy()
+        np.testing.assert_allclose(ours, ref, atol=5e-5)
