@@ -231,3 +231,113 @@ class TestSigLIPFullForwardVsTorch:
         h = h + (TF.gelu(hn @ t(f1w).T + t(f1b)) @ t(f2w).T + t(f2b))
         ref = TF.layer_norm(h, (d,), t(fns), t(fnb), eps=1e-6).numpy()
         np.testing.assert_allclose(ours, ref, atol=5e-5)
+
+
+class TestVQDecoderFullVsTorch:
+    def test_full_decoder(self):
+        """conv_in -> mid(res,attn,res) -> levels(res x2 [+attn deepest],
+        upsample) -> GN+swish+conv_out, vs a torch composition with the same
+        weights (ch_mult=(1,2): deepest level first, one upsample)."""
+        q = VQC  # ch=8, ch_mult=(1,2), num_res_blocks=1, z=16, groups=4
+
+        def res_params(cin, cout):
+            n1 = gn_params(cin); c1 = conv_params(cin, cout, 3)
+            n2 = gn_params(cout); c2 = conv_params(cout, cout, 3)
+            sh = conv_params(cin, cout, 1) if cin != cout else None
+            return n1, c1, n2, c2, sh
+
+        def res_jax(pp):
+            (n1, c1, n2, c2, sh) = pp
+            d = {
+                "norm1": {"scale": jnp.asarray(n1[0]), "bias": jnp.asarray(n1[1])},
+                "conv1": as_jax_conv(*c1),
+                "norm2": {"scale": jnp.asarray(n2[0]), "bias": jnp.asarray(n2[1])},
+                "conv2": as_jax_conv(*c2),
+            }
+            if sh is not None:
+                d["nin_shortcut"] = as_jax_conv(*sh)
+            return d
+
+        def res_torch(pp, x):
+            (n1, c1, n2, c2, sh) = pp
+            h = TF.group_norm(x, 4, t(n1[0]), t(n1[1]), eps=1e-6)
+            h = h * torch.sigmoid(h)
+            h = TF.conv2d(h, t(c1[0]), t(c1[1]), padding=1)
+            h = TF.group_norm(h, 4, t(n2[0]), t(n2[1]), eps=1e-6)
+            h = h * torch.sigmoid(h)
+            h = TF.conv2d(h, t(c2[0]), t(c2[1]), padding=1)
+            if sh is not None:
+                x = TF.conv2d(x, t(sh[0]), t(sh[1]))
+            return x + h
+
+        def attn_params(c):
+            return (gn_params(c), conv_params(c, c, 1), conv_params(c, c, 1),
+                    conv_params(c, c, 1), conv_params(c, c, 1))
+
+        def attn_jax(pp):
+            (n, qw, kw, vw, pw) = pp
+            return {
+                "norm": {"scale": jnp.asarray(n[0]), "bias": jnp.asarray(n[1])},
+                "q": as_jax_conv(*qw), "k": as_jax_conv(*kw),
+                "v": as_jax_conv(*vw), "proj_out": as_jax_conv(*pw),
+            }
+
+        def attn_torch(pp, x):
+            (n, qw, kw, vw, pw) = pp
+            h = TF.group_norm(x, 4, t(n[0]), t(n[1]), eps=1e-6)
+            qq = TF.conv2d(h, t(qw[0]), t(qw[1]))
+            kk = TF.conv2d(h, t(kw[0]), t(kw[1]))
+            vv = TF.conv2d(h, t(vw[0]), t(vw[1]))
+            B, C, H, W = qq.shape
+            w_ = torch.softmax(
+                torch.bmm(qq.reshape(B, C, H * W).permute(0, 2, 1),
+                          kk.reshape(B, C, H * W)) * (C ** -0.5), dim=2)
+            hf = torch.bmm(vv.reshape(B, C, H * W), w_.permute(0, 2, 1)).reshape(B, C, H, W)
+            return x + TF.conv2d(hf, t(pw[0]), t(pw[1]))
+
+        block_in = q.ch * q.ch_mult[-1]  # 16
+        conv_in = conv_params(q.z_channels, block_in, 3)
+        mid_r1 = res_params(block_in, block_in)
+        mid_at = attn_params(block_in)
+        mid_r2 = res_params(block_in, block_in)
+        # level 0 of the reversed walk = deepest (ch 16, attn, upsample)
+        l0_res = [res_params(16, 16), res_params(16, 16)]
+        l0_attn = [attn_params(16), attn_params(16)]
+        l0_up = conv_params(16, 16, 3)
+        # level 1 = shallowest (ch 8)
+        l1_res = [res_params(16, 8), res_params(8, 8)]
+        norm_out = gn_params(8)
+        conv_out = conv_params(8, q.out_channels, 3)
+
+        params = {
+            "conv_in": as_jax_conv(*conv_in),
+            "mid": {"res1": res_jax(mid_r1), "attn": attn_jax(mid_at), "res2": res_jax(mid_r2)},
+            "levels": [
+                {"res": [res_jax(r) for r in l0_res],
+                 "attn": [attn_jax(a) for a in l0_attn],
+                 "up": {"conv": as_jax_conv(*l0_up)}},
+                {"res": [res_jax(r) for r in l1_res], "attn": []},
+            ],
+            "norm_out": {"scale": jnp.asarray(norm_out[0]), "bias": jnp.asarray(norm_out[1])},
+            "conv_out": as_jax_conv(*conv_out),
+        }
+        z = RS.randn(1, 4, 4, q.z_channels).astype(np.float32)
+        ours = np.asarray(vq.decoder_forward(params, q, jnp.asarray(z)))
+
+        # torch composition
+        x = TF.conv2d(t(z).permute(0, 3, 1, 2), t(conv_in[0]), t(conv_in[1]), padding=1)
+        x = res_torch(mid_r1, x)
+        x = attn_torch(mid_at, x)
+        x = res_torch(mid_r2, x)
+        for r, a in zip(l0_res, l0_attn):
+            x = res_torch(r, x)
+            x = attn_torch(a, x)
+        x = TF.interpolate(x, scale_factor=2.0, mode="nearest")
+        x = TF.conv2d(x, t(l0_up[0]), t(l0_up[1]), padding=1)
+        for r in l1_res:
+            x = res_torch(r, x)
+        x = TF.group_norm(x, 4, t(norm_out[0]), t(norm_out[1]), eps=1e-6)
+        x = x * torch.sigmoid(x)
+        x = TF.conv2d(x, t(conv_out[0]), t(conv_out[1]), padding=1)
+        ref = x.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, atol=5e-5)
