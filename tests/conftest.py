@@ -20,6 +20,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite jit-compiles many tiny programs; cached
+# binaries make repeat runs several times faster
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 assert jax.device_count() == 8, (
     f"expected 8 virtual CPU devices, got {jax.devices()} — "
     "a backend was initialized before conftest ran"
