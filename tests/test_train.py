@@ -223,6 +223,98 @@ class TestRemat:
         np.testing.assert_allclose(results[False], results[True], rtol=1e-6)
 
 
+class TestGradAccumulation:
+    """optax.MultiSteps composed with masking, set_to_zero, and shardings
+    (reference: accelerator.accumulate, train.py:170)."""
+
+    def _make(self, accum_steps, params):
+        cfg = TrainConfig(
+            optim=OptimConfig(
+                learning_rate=1e-3, gradient_accumulation_steps=accum_steps
+            )
+        )
+        tx, mask = make_optimizer(cfg.optim, params, "stage3")
+        step = make_train_step(
+            TINY, cfg, tx, PAD, ((2, "plan"),), compute_dtype=jnp.float32,
+            donate=False,
+        )
+        return step, init_train_state(params, tx), mask
+
+    def test_two_identical_microbatches_match_one_plain_step(self):
+        """With microbatch A fed twice, the k=2 averaged gradient equals
+        grad(A), so params after the accumulation boundary must match one
+        un-accumulated step bit-for-bit (same clip, same masked AdamW)."""
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        batches = make_batches()
+
+        step_acc, state_acc, _ = self._make(2, params)
+        step_plain, state_plain, _ = self._make(1, params)
+
+        # micro-step 1: mid-accumulation, updates must be zero
+        state_mid, _ = step_acc(state_acc, batches)
+        for b, a in zip(
+            jax.tree_util.tree_leaves(state_acc.params),
+            jax.tree_util.tree_leaves(state_mid.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+        # micro-step 2: boundary — the averaged grad is applied
+        state_done, _ = step_acc(state_mid, batches)
+        state_ref, _ = step_plain(state_plain, batches)
+        for got, want in zip(
+            jax.tree_util.tree_leaves(state_done.params),
+            jax.tree_util.tree_leaves(state_ref.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7
+            )
+
+    def test_frozen_leaves_stay_frozen_through_accumulation(self):
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        step, state, mask = self._make(2, params)
+        assert not any(jax.tree_util.tree_leaves(mask["gen_vision_model"]))
+        s = state
+        for _ in range(4):  # two full accumulation windows
+            s, metrics = step(s, make_batches())
+        for b, a in zip(
+            jax.tree_util.tree_leaves(state.params["gen_vision_model"]),
+            jax.tree_util.tree_leaves(s.params["gen_vision_model"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+        # trainable leaves did move at the boundaries
+        assert not np.array_equal(
+            np.asarray(state.params["language_model"]["layers"]["q_proj"]),
+            np.asarray(s.params["language_model"]["layers"]["q_proj"]),
+        )
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_accumulation_on_mesh_with_state_shardings(self):
+        """MultiSteps' accumulator state must survive out_shardings pinning
+        on a dp x tp mesh (its acc_grads mirror the param tree)."""
+        from plangen_tpu.parallel.mesh import (
+            batch_sharding, create_mesh, normalize_state_shardings, shard_params,
+        )
+
+        mesh = create_mesh({"data": 4, "model": 2})
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        params = shard_params(params, mesh)
+        cfg = TrainConfig(optim=OptimConfig(gradient_accumulation_steps=2))
+        tx, _ = make_optimizer(cfg.optim, params, "stage3")
+        state = init_train_state(params, tx)
+        state, shardings = normalize_state_shardings(state, mesh)
+        step = make_train_step(
+            TINY, cfg, tx, PAD, ((2, "plan"),), compute_dtype=jnp.float32,
+            donate=False, state_shardings=shardings,
+        )
+        bs = batch_sharding(mesh)
+        batches = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, bs), make_batches(B=4)
+        )
+        for _ in range(2):
+            state, metrics = step(state, batches)
+        assert np.isfinite(float(metrics["loss"]))
+
+
 class TestTrainerResume:
     def test_resume_from_latest(self, tmp_path):
         """fit 2 steps -> new Trainer -> maybe_resume picks up step 2
