@@ -278,6 +278,10 @@ class PlanGenConfig:
     oim_caption_dir: Optional[str] = None
     grit_json: Optional[str] = None
     grit_image_dir: str = ""
+    # GRiT training augmentation (debug_grit.py:51,56,645,662): caption
+    # dropout for CFG and the IoU-constrained random crop; train-split only
+    grit_empty_prompt_prob: float = 0.05
+    grit_min_iou_crop: bool = False
     grit7k_json: Optional[str] = None
     edit_json: Optional[str] = None
     plan_json: Optional[str] = None

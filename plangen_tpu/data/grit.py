@@ -28,6 +28,7 @@ import numpy as np
 from plangen_tpu.data.preprocess import build_edit_region, to_model_range
 from plangen_tpu.data.schema import Sample
 from plangen_tpu.data.transforms import (
+    iou_sample_crop,
     pad_layout_slots,
     random_mirror,
     resize_short_side_center_crop,
@@ -49,6 +50,13 @@ class GritSceneGraphDataset:
         flip: bool = False,
         neg_prompt: str = "",
         seed: int = 0,
+        # caption dropout for CFG training: with this probability the sample's
+        # caption becomes "" while the grounded boxes stay
+        # (debug_grit.py:51,278 proportion_empty_prompts=0.05)
+        proportion_empty_prompts: float = 0.0,
+        # SSD-style IoU-constrained square crop instead of the center crop
+        # (debug_grit.py:56,445 use_MinIoURandomCrop)
+        use_min_iou_crop: bool = False,
     ):
         if not os.path.exists(grit_json):
             raise FileNotFoundError(f"GRiT json not found at {grit_json}")
@@ -85,6 +93,8 @@ class GritSceneGraphDataset:
         self.hw = image_hw
         self.flip = flip
         self.neg_prompt = neg_prompt
+        self.proportion_empty_prompts = proportion_empty_prompts
+        self.use_min_iou_crop = use_min_iou_crop
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -95,13 +105,40 @@ class GritSceneGraphDataset:
 
         it = self.items[i]
         image = np.asarray(Image.open(it["path"]).convert("RGB"))
-        img, xywh = resize_short_side_center_crop(image, it["boxes"], self.hw)
-        boxes = xywh_to_xyxy_norm(xywh, self.hw).clip(0, 1)
+        phrases = it["phrases"]
+        if self.use_min_iou_crop:
+            # short-side resize, then an IoU-constrained random square crop
+            # replaces the center crop (reference order: resize -> flip ->
+            # MinIoU crop, debug_grit.py:400,431,445; flip and crop are both
+            # random so applying crop first is distributionally identical)
+            img, xywh = resize_short_side_center_crop(
+                image, it["boxes"], self.hw, crop=False
+            )
+            xyxy_px = xywh.copy()
+            xyxy_px[:, 2:] += xyxy_px[:, :2]
+            cropped = iou_sample_crop(img, xyxy_px, phrases, self.rng)
+            if cropped is not None:
+                img, kept_xyxy, phrases = cropped
+                boxes = (kept_xyxy / self.hw).clip(0, 1)
+            else:
+                # no valid crop found: fall back to the center crop
+                img, xywh = resize_short_side_center_crop(
+                    image, it["boxes"], self.hw
+                )
+                boxes = xywh_to_xyxy_norm(xywh, self.hw).clip(0, 1)
+        else:
+            img, xywh = resize_short_side_center_crop(image, it["boxes"], self.hw)
+            boxes = xywh_to_xyxy_norm(xywh, self.hw).clip(0, 1)
         img_f = to_model_range(img)
         if self.flip:
             img_f, boxes = random_mirror(img_f, boxes, self.rng)
-        boxes10, classes10, valid = pad_layout_slots(boxes, it["phrases"])
+        boxes10, classes10, valid = pad_layout_slots(boxes, phrases)
         caption = it["caption"]
+        if (
+            self.proportion_empty_prompts > 0
+            and self.rng.rand() < self.proportion_empty_prompts
+        ):
+            caption = ""  # CFG caption dropout (debug_grit.py:278)
         return Sample(
             image=img_f,
             base_caption=caption,

@@ -122,6 +122,13 @@ def _grit(cfg, is_test, flip=False):
         image_hw=cfg.janus_hw,
         flip=flip,
         neg_prompt=cfg.generation.neg_prompt,
+        # training-only augmentations (debug_grit.py:645,662)
+        proportion_empty_prompts=(
+            0.0 if is_test else getattr(cfg, "grit_empty_prompt_prob", 0.0)
+        ),
+        use_min_iou_crop=(
+            False if is_test else getattr(cfg, "grit_min_iou_crop", False)
+        ),
     )
 
 

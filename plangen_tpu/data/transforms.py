@@ -20,8 +20,14 @@ def resize_short_side_center_crop(
     image: np.ndarray,  # [H, W, 3] float or uint8
     boxes_xywh: np.ndarray,  # [N, 4] pixel coords (x1, y1, w, h)
     target: int = 384,
+    crop: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Bilinear short-side resize to `target`, center crop, adjust boxes."""
+    """Bilinear short-side resize to `target`, center crop, adjust boxes.
+
+    With `crop=False` only the short-side resize is applied (the reference
+    crops separately when use_MinIoURandomCrop is on, debug_grit.py:445-456);
+    boxes stay in pixel coords of the resized image.
+    """
     from PIL import Image
 
     h, w = image.shape[:2]
@@ -34,9 +40,10 @@ def resize_short_side_center_crop(
     pil = Image.fromarray(
         image.astype(np.uint8) if image.dtype != np.uint8 else image
     ).resize((new_w, new_h), Image.BILINEAR)
-    left = (new_w - target) // 2
-    top = (new_h - target) // 2
-    pil = pil.crop((left, top, left + target, top + target))
+    left = (new_w - target) // 2 if crop else 0
+    top = (new_h - target) // 2 if crop else 0
+    if crop:
+        pil = pil.crop((left, top, left + target, top + target))
     out = np.asarray(pil)
 
     boxes = np.asarray(boxes_xywh, dtype=np.float32).reshape(-1, 4).copy()

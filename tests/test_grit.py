@@ -47,6 +47,68 @@ class TestGrit(object):
         assert "red cat" in s.prompt
         assert s.prompt.count("<ref>") == 1  # small box dropped
 
+    def _write_grit_fixture(self, tmp_path, img_wh=(200, 100)):
+        from PIL import Image
+
+        img_path = tmp_path / "img0.jpg"
+        Image.new("RGB", img_wh, (128, 64, 32)).save(img_path)
+        caption = "a red cat sits near a blue dog"
+        grit = {
+            "0": {
+                "f_path": str(img_path),
+                "width": img_wh[0],
+                "height": img_wh[1],
+                "caption": caption,
+                "url": "",
+                "ref_exps": [
+                    [2, 11, 0.1, 0.2, 0.4, 0.7, 0.9],
+                    [14, 22, 0.55, 0.1, 0.95, 0.9, 0.8],
+                ],
+            }
+        }
+        p = tmp_path / "grit.json"
+        with open(p, "w") as f:
+            json.dump(grit, f)
+        return str(p)
+
+    def test_empty_prompt_dropout_distribution(self, tmp_path):
+        """proportion_empty_prompts (debug_grit.py:278): the caption is
+        dropped at roughly the configured rate, boxes stay."""
+        p = self._write_grit_fixture(tmp_path)
+        ds = GritSceneGraphDataset(
+            p, image_hw=64, proportion_empty_prompts=0.5, seed=7
+        )
+        empty = 0
+        n = 200
+        for _ in range(n):
+            s = ds[0]
+            assert s.prompt.count("<ref>") == 2  # grounding survives dropout
+            if s.base_caption == "":
+                empty += 1
+                # serialized without any caption text before the grounding
+                assert s.prompt.startswith("<grounding>")
+        assert 60 < empty < 140  # ~N(100, 7) at p=0.5
+
+        ds0 = GritSceneGraphDataset(p, image_hw=64, proportion_empty_prompts=0.0)
+        assert all(ds0[0].base_caption != "" for _ in range(20))
+
+    def test_min_iou_crop_changes_layout(self, tmp_path):
+        """use_MinIoURandomCrop (debug_grit.py:56,445): crops are square at
+        image_hw, boxes stay normalized, and crop positions vary."""
+        p = self._write_grit_fixture(tmp_path, img_wh=(300, 100))
+        ds = GritSceneGraphDataset(p, image_hw=64, use_min_iou_crop=True, seed=3)
+        seen_boxes = set()
+        for _ in range(30):
+            s = ds[0]
+            assert s.image.shape == (64, 64, 3)
+            assert 1 <= s.prompt.count("<ref>") <= 2  # crop may drop a box
+            seen_boxes.add(s.prompt)
+        # random crops must actually move the boxes between draws
+        assert len(seen_boxes) > 3
+
+        ds_c = GritSceneGraphDataset(p, image_hw=64, use_min_iou_crop=False)
+        assert ds_c[0].prompt == ds_c[0].prompt  # deterministic without crop
+
     def test_7k_loader(self, tmp_path):
         rows = [
             [0, "two cats", 0, {"H": 100, "W": 200}, 0,
