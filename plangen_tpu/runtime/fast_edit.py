@@ -51,6 +51,33 @@ def frozen_chunk_schedule(regen_mask: np.ndarray, chunk: int = CHUNK) -> Tuple[b
     return tuple(bool(x) for x in (chunks.sum(axis=(0, 2)) == 0))
 
 
+def canonicalize_schedule(
+    schedule: Tuple[bool, ...], granularity: int = 8
+) -> Tuple[bool, ...]:
+    """Collapse a schedule to `frozen prefix + mixed middle + frozen suffix`
+    with boundaries rounded to `granularity` chunks.
+
+    The schedule is a jit static arg, and on the remote TPU compiler each
+    distinct tuple costs minutes. Marking a frozen chunk as mixed is ALWAYS
+    exactness-preserving (the sequential path teacher-forces the same gt
+    tokens with the same positional fold_in keys), so we may freely coarsen:
+    keep the frozen prefix (rounded down) and frozen suffix (rounded up
+    from the last mixed chunk) and treat everything between as mixed. A
+    576-token decode has 36 chunks -> at granularity 8 the signature space
+    is at most ceil(36/8 + 1)^2 = 25 programs, and for box-shaped edit
+    regions (rm_coco workload) typically <= 6. The interior frozen chunks we
+    give up are few for box masks: a box spans contiguous grid rows, so
+    almost all fully-frozen chunks lie before/after the row band anyway.
+    """
+    n = len(schedule)
+    mixed = [i for i, frozen in enumerate(schedule) if not frozen]
+    if not mixed:
+        return (True,) * n  # fully frozen: single canonical program
+    first = (mixed[0] // granularity) * granularity
+    last = min(n, -(-(mixed[-1] + 1) // granularity) * granularity)
+    return tuple(i < first or i >= last for i in range(n))
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_tokens", "schedule", "quantized_cache"))
 def generate_image_tokens_fast_edit(
     params: Params,

@@ -182,14 +182,19 @@ class PlanGenPipeline:
         )
         rng = jax.random.PRNGKey(self.gen.seed if seed is None else seed)
         if self.gen.fast_edit and gt_tokens is not None:
-            # frozen runs prefilled in one pass (token-identical; one compile
-            # per distinct chunk schedule — see runtime/fast_edit.py)
+            # frozen runs prefilled in one pass (token-identical); the
+            # schedule is canonicalized to a coarse prefix/suffix form so a
+            # whole eval workload compiles at most a handful of programs
+            # (remote TPU compiles are minutes each — see fast_edit.py)
             from plangen_tpu.runtime.fast_edit import (
+                canonicalize_schedule,
                 frozen_chunk_schedule,
                 generate_image_tokens_fast_edit,
             )
 
-            schedule = frozen_chunk_schedule(np.asarray(regen))
+            schedule = canonicalize_schedule(
+                frozen_chunk_schedule(np.asarray(regen))
+            )
             result = generate_image_tokens_fast_edit(
                 self.params,
                 self.cfg,

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from plangen_tpu.config import PlanGenModelConfig
 from plangen_tpu.models import vlm
 from plangen_tpu.runtime.fast_edit import (
+    canonicalize_schedule,
     frozen_chunk_schedule,
     generate_image_tokens_fast_edit,
 )
@@ -29,6 +30,40 @@ class TestSchedule:
     def test_ragged_tail(self):
         s = frozen_chunk_schedule(np.zeros((1, 20), dtype=np.int32))
         assert len(s) == 2
+
+    def test_canonicalize_never_marks_mixed_as_frozen(self):
+        rng = np.random.RandomState(0)
+        for _ in range(50):
+            s = tuple(bool(b) for b in rng.rand(36) > 0.5)
+            c = canonicalize_schedule(s)
+            assert len(c) == len(s)
+            for orig, canon in zip(s, c):
+                if not orig:  # mixed must stay mixed (exactness)
+                    assert not canon
+
+    def test_canonicalize_bounds_signatures_rm_coco_workload(self):
+        """200 random removal-box masks (24x24 grid, raster order) must
+        compile to at most a handful of distinct jit signatures."""
+        rng = np.random.RandomState(1)
+        grid = 24
+        signatures = set()
+        for _ in range(200):
+            # a random box covering ~10-50% of the canvas
+            h = rng.randint(5, 17)
+            w = rng.randint(5, 17)
+            y = rng.randint(0, grid - h)
+            x = rng.randint(0, grid - w)
+            m2 = np.zeros((grid, grid), dtype=np.int32)
+            m2[y : y + h, x : x + w] = 1
+            sched = canonicalize_schedule(
+                frozen_chunk_schedule(m2.reshape(1, -1))
+            )
+            signatures.add(sched)
+        assert len(signatures) <= 12, f"{len(signatures)} distinct programs"
+
+    def test_canonicalize_fully_frozen_and_fully_mixed(self):
+        assert canonicalize_schedule((True,) * 36) == (True,) * 36
+        assert canonicalize_schedule((False,) * 36) == (False,) * 36
 
 
 class TestFastEdit:
@@ -64,6 +99,16 @@ class TestFastEdit:
         )
         np.testing.assert_array_equal(
             np.asarray(ref.tokens), np.asarray(fast.tokens)
+        )
+        # the canonicalized (coarser) schedule stays token-identical too
+        fast_c = generate_image_tokens_fast_edit(
+            params, TINY, emb, mask,
+            gt_tokens=gt, regen_mask=jnp.asarray(regen), num_tokens=N,
+            schedule=canonicalize_schedule(frozen_chunk_schedule(regen), 2),
+            **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.tokens), np.asarray(fast_c.tokens)
         )
 
     def test_all_frozen_equals_gt(self):
