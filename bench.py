@@ -1,18 +1,29 @@
-"""Headline benchmark: image-tokens/sec/chip for 576-token 384px generation.
+"""Headline benchmark: the BASELINE.json metric set on one chip.
 
-Runs the fused CFG image-token decode (prefill + 576-step lax.scan, dual
-cond/uncond batch) on full Janus-Pro-1B dims in bf16 on the default device
-(the real TPU chip under the driver), then prints ONE JSON line.
+Measures, on full Janus-Pro-1B dims in bf16 on the default device:
 
-Baseline: the reference publishes no numbers (BASELINE.md). `vs_baseline`
-is computed against REF_TOKENS_PER_SEC, an estimate of the reference's
-single-GPU rate: the reference decode is a Python loop over HF module calls
-(plangen_base.py:567-607) at roughly 25-30 ms/step on the documented RTX 3090
+  1. image-tokens/sec/chip — 576-token 384px CFG generation at batch 32
+     (headline `value`; the fused prefill + lax.scan decode program)
+  2. e2e p50 latency/image at B=1 — prompt embeds -> 576-step decode ->
+     VQ detokenize -> host pixels (the reference's per-image serving path:
+     sample_image + vq decode, plangen_base.py:567-607 + vq_model.py:127-214)
+  3. e2e throughput at batch 32 incl. VQ detokenize (images/min)
+  4. MMU/plan layout decode tokens/s — greedy KV-cached text decode at
+     batch 32 with a 128-token budget (x2t path, plangen_base.py:513-523)
+
+Prints ONE JSON line: the headline metric in `value` plus the remaining
+numbers under `extra_metrics`.
+
+`vs_baseline` is an ESTIMATE, labelled as such in `vs_baseline_note`: the
+reference publishes no numbers (BASELINE.md). Its decode is a Python loop
+over HF module calls at roughly 25-30 ms/step on the documented RTX 3090
 (README.md:26) -> ~576 tokens / 16 s ~= 34 image-tokens/s for batch 1.
-Replace with a measured number when reference hardware is available.
+Replace REF_TOKENS_PER_SEC with a measured number when reference hardware
+is available.
 
-Env knobs: BENCH_BATCH (default 4 images), BENCH_PROMPT_LEN (default 64),
-BENCH_REPEATS (default 3).
+Env knobs: BENCH_BATCH (default 32), BENCH_PROMPT_LEN (64), BENCH_REPEATS
+(3), BENCH_INT8 / BENCH_INT8_KV (quantized serving path), BENCH_FAST=1
+(headline metric only — skip the B=1 / MMU programs).
 """
 
 from __future__ import annotations
@@ -25,7 +36,17 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-REF_TOKENS_PER_SEC = 34.0  # documented estimate, see module docstring
+REF_TOKENS_PER_SEC = 34.0  # documented ESTIMATE, see module docstring
+
+
+def _best(fn, repeats):
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        fn(i + 1)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[0], times[len(times) // 2]  # (best, p50)
 
 
 def main() -> None:
@@ -39,17 +60,20 @@ def main() -> None:
     except Exception:
         pass
     import jax.numpy as jnp
+    import numpy as np
 
     from plangen_tpu.config import PlanGenModelConfig
-    from plangen_tpu.models import vlm
-    from plangen_tpu.runtime.generate import generate_image_tokens
+    from plangen_tpu.models import vlm, vq
+    from plangen_tpu.runtime.generate import generate_image_tokens, greedy_decode_text
 
     B = int(os.environ.get("BENCH_BATCH", "32"))
     L = int(os.environ.get("BENCH_PROMPT_LEN", "64"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    fast = os.environ.get("BENCH_FAST") == "1"
 
     cfg = PlanGenModelConfig()
     n_img = cfg.image_seq_len  # 576
+    grid = cfg.vision.image_size // cfg.vq.downsample_factor  # 24
 
     key = jax.random.PRNGKey(0)
     # jit the init: one compiled program instead of per-op tunnel dispatches
@@ -58,47 +82,99 @@ def main() -> None:
         from plangen_tpu.ops.quant import quantize_lm_params
 
         params = quantize_lm_params(params)
-
-    cfg_embeds = jax.random.normal(
-        jax.random.PRNGKey(1), (2 * B, L, cfg.llama.hidden_size), dtype=jnp.bfloat16
-    )
-    mask = jnp.ones((2 * B, L + n_img), dtype=jnp.int32)
-
-    import numpy as np
-
     quantized_cache = os.environ.get("BENCH_INT8_KV") == "1"
 
-    def run(seed):
-        out = generate_image_tokens(
-            params,
-            cfg,
-            cfg_embeds,
-            mask,
-            rng=jax.random.PRNGKey(seed),
-            cfg_weight=jnp.float32(5.0),
-            temperature=jnp.float32(1.0),
-            num_tokens=n_img,
-            quantized_cache=quantized_cache,
-        )
-        # np.asarray forces a device->host fetch: on the experimental axon
-        # platform block_until_ready() returns before execution completes
-        return np.asarray(out.tokens)
+    from functools import partial
 
+    @partial(jax.jit, static_argnames=("grid",))
+    def vq_decode(params, tokens, grid):
+        return vq.decode_code(params["gen_vision_model"], cfg.vq, tokens, (grid, grid))
+
+    def make_decode_run(b, with_vq):
+        embeds = jax.random.normal(
+            jax.random.PRNGKey(1), (2 * b, L, cfg.llama.hidden_size),
+            dtype=jnp.bfloat16,
+        )
+        mask = jnp.ones((2 * b, L + n_img), dtype=jnp.int32)
+
+        def run(seed):
+            out = generate_image_tokens(
+                params, cfg, embeds, mask,
+                rng=jax.random.PRNGKey(seed),
+                cfg_weight=jnp.float32(5.0),
+                temperature=jnp.float32(1.0),
+                num_tokens=n_img,
+                quantized_cache=quantized_cache,
+            )
+            if with_vq:
+                # np.asarray forces device->host: on the experimental axon
+                # platform block_until_ready() returns before execution ends
+                return np.asarray(vq_decode(params, out.tokens, grid))
+            return np.asarray(out.tokens)
+
+        return run
+
+    # ---- 1. headline: image-tokens/s at batch B (decode only) --------------
+    run_decode = make_decode_run(B, with_vq=False)
     try:
-        run(0)  # compile
+        run_decode(0)  # compile
     except Exception as e:  # e.g. HBM exhaustion on other chip variants
         sys.stderr.write(f"bench: B={B} failed ({type(e).__name__}); retrying B=16\n")
         B = 16
-        cfg_embeds = cfg_embeds[: 2 * B]
-        mask = mask[: 2 * B]
-        run(0)
-    times = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        run(i + 1)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+        run_decode = make_decode_run(B, with_vq=False)
+        run_decode(0)
+    best, _ = _best(run_decode, repeats)
     tokens_per_sec = B * n_img / best
+
+    extra = []
+    if not fast:
+        # ---- 2. e2e p50 latency/image at B=1 (incl. VQ detokenize) ---------
+        run_b1 = make_decode_run(1, with_vq=True)
+        run_b1(0)  # compile
+        _, p50_b1 = _best(run_b1, repeats)
+        extra.append({
+            "metric": "e2e p50 latency/image B=1 (prompt embeds -> pixels, incl. VQ detokenize)",
+            "value": round(p50_b1, 3),
+            "unit": "s",
+        })
+
+        # ---- 3. e2e throughput at batch B incl. VQ detokenize --------------
+        run_e2e = make_decode_run(B, with_vq=True)
+        run_e2e(0)
+        best_e2e, _ = _best(run_e2e, repeats)
+        extra.append({
+            "metric": f"e2e images/min B={B} (576-tok gen + VQ detokenize)",
+            "value": round(B * 60.0 / best_e2e, 2),
+            "unit": "images/min",
+        })
+        extra.append({
+            "metric": f"e2e image-tokens/s B={B} incl. VQ detokenize",
+            "value": round(B * n_img / best_e2e, 2),
+            "unit": "tokens/s",
+        })
+
+        # ---- 4. MMU/plan layout decode tokens/s -----------------------------
+        T = 128
+        text_embeds = jax.random.normal(
+            jax.random.PRNGKey(2), (B, L, cfg.llama.hidden_size), dtype=jnp.bfloat16
+        )
+        text_mask = jnp.ones((B, L + T), dtype=jnp.int32)
+
+        def run_mmu(seed):
+            toks = greedy_decode_text(
+                params, cfg, text_embeds, text_mask,
+                eos_id=jnp.int32(-1),  # never fires: decode the full budget
+                max_new_tokens=T,
+            )
+            return np.asarray(toks)
+
+        run_mmu(0)
+        best_mmu, _ = _best(run_mmu, repeats)
+        extra.append({
+            "metric": f"MMU/plan layout decode tokens/s B={B} (greedy, 128-tok budget)",
+            "value": round(B * T / best_mmu, 2),
+            "unit": "tokens/s",
+        })
 
     print(
         json.dumps(
@@ -107,6 +183,12 @@ def main() -> None:
                 "value": round(tokens_per_sec, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(tokens_per_sec / REF_TOKENS_PER_SEC, 2),
+                "vs_baseline_note": (
+                    "ESTIMATE: reference publishes no numbers; 34 tok/s is a "
+                    "B=1 RTX-3090 estimate (see bench.py docstring), and the "
+                    "headline value is B=32 batch throughput"
+                ),
+                "extra_metrics": extra,
             }
         )
     )
