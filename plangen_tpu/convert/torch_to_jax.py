@@ -153,6 +153,8 @@ def _convert_siglip(sd, cfg: PlanGenModelConfig, p: str) -> Dict[str, Any]:
     pos = _vec(sd, p + "pos_embed")
     if pos.ndim == 2:
         pos = pos[None]
+    import jax
+
     return {
         "patch_embed": {
             "w": _conv_w(sd, p + "patch_embed.proj.weight"),
@@ -163,7 +165,8 @@ def _convert_siglip(sd, cfg: PlanGenModelConfig, p: str) -> Dict[str, Any]:
             "scale": _vec(sd, p + "norm.weight"),
             "bias": _vec(sd, p + "norm.bias"),
         },
-        "blocks": blocks,
+        # layer-stacked like the LM decoder (siglip.py module docstring)
+        "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs), *blocks),
     }
 
 

@@ -61,14 +61,21 @@ def image_gen_logits(params: Params, hidden: jax.Array) -> jax.Array:
 
 
 def encode_images_for_understanding(
-    params: Params, cfg: PlanGenModelConfig, images: jax.Array
+    params: Params,
+    cfg: PlanGenModelConfig,
+    images: jax.Array,
+    use_flash: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """SigLIP features -> aligner -> LLM-dim embeddings [B, 576, H].
 
     images: [B, H, W, 3] NHWC, CLIP-normalized.
     Reference: prepare_inputs_embeds vision path (modeling_vlm.py:246-249).
     """
-    feats = siglip.forward(params["vision_model"], cfg.vision, images)
+    feats = siglip.forward(
+        params["vision_model"], cfg.vision, images, use_flash=use_flash,
+        remat=remat,
+    )
     return projector.forward(params["aligner"], feats)
 
 
@@ -100,12 +107,16 @@ def prepare_inputs_embeds(
     input_ids: jax.Array,  # [B, L]
     pixel_values: jax.Array,  # [B, H, W, 3]
     images_seq_mask: jax.Array,  # [B, L] bool
+    use_flash: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """Text embeddings with SigLIP image features spliced in (one image/row).
 
     Reference: MultiModalityCausalLM.prepare_inputs_embeds
     (modeling_vlm.py:221-268).
     """
-    image_embeds = encode_images_for_understanding(params, cfg, pixel_values)
+    image_embeds = encode_images_for_understanding(
+        params, cfg, pixel_values, use_flash=use_flash, remat=remat
+    )
     token_embeds = embed_text(params, input_ids)
     return splice_image_embeddings(token_embeds, image_embeds, images_seq_mask)

@@ -59,9 +59,10 @@ _TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r"layers/o_proj$", P(None, "model", None)),
     (r"layers/(gate_proj|up_proj)$", P(None, None, "model")),
     (r"layers/down_proj$", P(None, "model", None)),
-    # SigLIP tower: column-parallel qkv/fc1, row-parallel proj/fc2
-    (r"vision_model/blocks/\d+/(qkv|fc1)/w$", P(None, "model")),
-    (r"vision_model/blocks/\d+/(proj|fc2)/w$", P("model", None)),
+    # SigLIP tower (layer-stacked [L, in, out]): column-parallel qkv/fc1,
+    # row-parallel proj/fc2
+    (r"vision_model/layers/(qkv|fc1)/w$", P(None, None, "model")),
+    (r"vision_model/layers/(proj|fc2)/w$", P(None, "model", None)),
     # gen head: split the big classifier over model axis
     (r"gen_head/fc2/w$", P(None, "model")),
 )

@@ -122,7 +122,10 @@ def mmu_loss(
 ) -> Dict[str, jax.Array]:
     """Understanding loss (reference forward_mmu, plangen_base.py:843-892):
     LM CE over the spliced sequence; image-placeholder ids -> pad (ignored)."""
-    embeds = vlm.prepare_inputs_embeds(params, cfg, input_ids, images, images_seq_mask)
+    embeds = vlm.prepare_inputs_embeds(
+        params, cfg, input_ids, images, images_seq_mask,
+        use_flash=use_flash, remat=remat,
+    )
     hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash)
     logits = llama.lm_head(params["language_model"], hidden)
     labels = jnp.where(images_seq_mask, pad_id, input_ids)

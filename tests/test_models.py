@@ -123,6 +123,56 @@ class TestSigLIP:
         assert out.shape == (2, cfg.num_patches, cfg.width)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_scan_matches_sequential_blocks(self):
+        """The layer-stacked scan must equal applying _block per layer."""
+        from plangen_tpu.config import SigLIPConfig
+
+        cfg = SigLIPConfig(image_size=32, patch_size=16, width=32, layers=3, heads=2)
+        params = siglip.init(KEY, cfg, dtype=F32)
+        img = jax.random.normal(KEY, (2, 32, 32, 3), dtype=F32)
+        scanned = np.asarray(siglip.forward(params, cfg, img))
+
+        x = jax.lax.conv_general_dilated(
+            img, params["patch_embed"]["w"], (16, 16), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        B, Hp, Wp, D = x.shape
+        x = x.reshape(B, Hp * Wp, D) + params["patch_embed"]["b"]
+        x = x + params["pos_embed"]
+        for l in range(cfg.layers):
+            blk = jax.tree_util.tree_map(lambda a: a[l], params["layers"])
+            x = siglip._block(blk, cfg, x)
+        ref = np.asarray(siglip.layer_norm(x, params["final_norm"], cfg.layer_norm_eps))
+        np.testing.assert_allclose(scanned, ref, atol=1e-6)
+
+    def test_flash_attention_path_matches(self, monkeypatch):
+        """use_flash (Pallas kernel, interpret on CPU) must match XLA."""
+        import functools
+
+        from plangen_tpu import ops
+        from plangen_tpu.config import SigLIPConfig
+        from plangen_tpu.ops import pallas_attention
+
+        monkeypatch.setattr(
+            pallas_attention, "flash_attention",
+            functools.partial(pallas_attention.flash_attention, interpret=True),
+        )
+        # 128px @ patch16 -> 64 patches: exercises the 64-wide flash tiles
+        cfg = SigLIPConfig(image_size=128, patch_size=16, width=32, layers=2, heads=2)
+        params = siglip.init(KEY, cfg, dtype=F32)
+        img = jax.random.normal(KEY, (2, 128, 128, 3), dtype=F32)
+        base = np.asarray(siglip.forward(params, cfg, img, use_flash=False))
+        flash = np.asarray(siglip.forward(params, cfg, img, use_flash=True))
+        np.testing.assert_allclose(base, flash, atol=2e-5)
+
+    def test_remat_matches(self):
+        cfg = TINY.vision
+        params = siglip.init(KEY, cfg, dtype=F32)
+        img = jax.random.normal(KEY, (2, cfg.image_size, cfg.image_size, 3), dtype=F32)
+        a = np.asarray(siglip.forward(params, cfg, img, remat=False))
+        b = np.asarray(siglip.forward(params, cfg, img, remat=True))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
 
 class TestVQ:
     def test_encode_decode_shapes(self):

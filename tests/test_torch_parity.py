@@ -201,7 +201,7 @@ class TestSigLIPFullForwardVsTorch:
             },
             "pos_embed": jnp.asarray(pos),
             "final_norm": {"scale": jnp.asarray(fns), "bias": jnp.asarray(fnb)},
-            "blocks": [
+            "layers": siglip.stack_blocks([
                 {
                     "norm1": {"scale": jnp.asarray(n1s), "bias": jnp.asarray(n1b)},
                     "qkv": {"w": jnp.asarray(qkvw.T), "b": jnp.asarray(qkvb)},
@@ -210,7 +210,7 @@ class TestSigLIPFullForwardVsTorch:
                     "fc1": {"w": jnp.asarray(f1w.T), "b": jnp.asarray(f1b)},
                     "fc2": {"w": jnp.asarray(f2w.T), "b": jnp.asarray(f2b)},
                 }
-            ],
+            ]),
         }
         img = RS.randn(2, 32, 32, 3).astype(np.float32)
         ours = np.asarray(siglip.forward(params, cfg, jnp.asarray(img)))
