@@ -269,6 +269,7 @@ class PlanGenConfig:
     # dataset roots (reference hardcodes cluster paths, cfg/base.py:12-16;
     # here they're config fields, None = dataset unavailable)
     layoutsam_path: Optional[str] = None
+    layoutsam_image_root: str = ""          # SAM image dump for the raw train rows
     layoutsam_eval_path: Optional[str] = None
     coco_root: Optional[str] = None
     coco_200_path: Optional[str] = None

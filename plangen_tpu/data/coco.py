@@ -30,8 +30,55 @@ RM_NEG_CLASS = (
 )  # reference: dataset_edit_coco_rm.py:50
 
 
+class _MiniCOCO:
+    """Dependency-free reader for the COCO annotation JSON schema
+    ({images, annotations, categories}); used when pycocotools is absent.
+    Implements exactly the calls COCOValDataset makes, with pycocotools'
+    semantics (getAnnIds iscrowd filter, id-keyed loads)."""
+
+    def __init__(self, ann_file: str):
+        with open(ann_file) as f:
+            d = json.load(f)
+        self.imgs = {im["id"]: im for im in d.get("images", [])}
+        self.anns = {a["id"]: a for a in d.get("annotations", [])}
+        self.cats = {c["id"]: c for c in d.get("categories", [])}
+        self.img_to_anns: dict = {}
+        for a in d.get("annotations", []):
+            self.img_to_anns.setdefault(a["image_id"], []).append(a)
+
+    def getImgIds(self):
+        return list(self.imgs)
+
+    def loadImgs(self, ids):
+        return [self.imgs[i] for i in ids]
+
+    def getAnnIds(self, imgIds, iscrowd=None):
+        out = []
+        for i in imgIds:
+            for a in self.img_to_anns.get(i, []):
+                if iscrowd is None or a.get("iscrowd", 0) == iscrowd:
+                    out.append(a["id"])
+        return out
+
+    def loadAnns(self, ids):
+        return [self.anns[i] for i in ids]
+
+    def loadCats(self, ids):
+        return [self.cats[i] for i in ids]
+
+
+def _open_coco(ann_file: str):
+    try:
+        from pycocotools.coco import COCO
+
+        return COCO(ann_file)
+    except ImportError:
+        return _MiniCOCO(ann_file)
+
+
 class COCOValDataset:
-    """COCO val2017 boxes + captions (requires pycocotools + local data)."""
+    """COCO val2017 boxes + captions (pycocotools when present, else the
+    built-in schema reader)."""
 
     def __init__(
         self,
@@ -41,10 +88,8 @@ class COCOValDataset:
         image_hw: int = 384,
         neg_prompt: str = "",
     ):
-        from pycocotools.coco import COCO
-
-        self.coco = COCO(ann_file)
-        self.coco_caption = COCO(caption_file)
+        self.coco = _open_coco(ann_file)
+        self.coco_caption = _open_coco(caption_file)
         self.image_dir = image_dir
         self.image_ids = sorted(self.coco.getImgIds())
         self.hw = image_hw

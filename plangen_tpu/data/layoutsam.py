@@ -34,6 +34,26 @@ def _normalize_xyxy(boxes, w, h):
     return b
 
 
+def _parse_list(v):
+    return ast.literal_eval(v) if isinstance(v, str) else v
+
+
+def _captions(item, detail: bool):
+    """Caption columns of the real HF datasets are 'region_captions' /
+    'detail_region_captions' (reference testset branch reads exactly these,
+    sam_traindata.py:89-99); '*_caption_list' names are tolerated because
+    the reference's own __getitem__ re-emits them under those keys."""
+    names = (
+        ("detail_region_captions", "detail_region_caption_list")
+        if detail
+        else ("region_captions", "region_caption_list")
+    )
+    for k in names:
+        if k in item and item[k] is not None:
+            return _parse_list(item[k])
+    raise KeyError(f"none of {names} present; columns: {sorted(item)}")
+
+
 class LayoutSAMEval:
     """LayoutSAM-eval test split ('creati'; '1k' = first 1000 samples).
 
@@ -68,18 +88,12 @@ class LayoutSAMEval:
     def __getitem__(self, idx: int) -> Sample:
         item = self.ds[idx]
         w, h = int(item["width"]), int(item["height"])
-        boxes = ast.literal_eval(item["bbox_list"]) if isinstance(
-            item["bbox_list"], str
-        ) else item["bbox_list"]
-        boxes = _normalize_xyxy(boxes, w, h)
-        caps_key = "detail_region_caption_list" if self.use_detail else "region_caption_list"
-        caps = item[caps_key]
-        if isinstance(caps, str):
-            caps = ast.literal_eval(caps)
+        boxes = _normalize_xyxy(_parse_list(item["bbox_list"]), w, h)
+        caps = _captions(item, detail=self.use_detail)
         if any(c is None for c in caps):
-            caps = item["region_caption_list"]
-            if isinstance(caps, str):
-                caps = ast.literal_eval(caps)
+            # null detail captions fall back to the short ones
+            # (sam_traindata.py:124-125)
+            caps = _captions(item, detail=False)
 
         image = item["image"]
         pil = image.convert("RGB").resize((self.hw, self.hw))
@@ -108,10 +122,22 @@ class LayoutSAMEval:
 class LayoutSAMTrain:
     """LayoutSAM train split: resize-crop to 384 + canvas box filter.
 
-    Reference: sam_traindata.py train branch (:101-120).
+    Reference: sam_traindata.py train branch (:101-120). The raw HF
+    LayoutSAM train rows carry `image_path` + a nested `metadata` dict
+    ({bbox_info: [{bbox, description, detail_description}], global_caption,
+    image_info: {height, width, file_name}}) with images in a separate SAM
+    dump — the reference flattens them in `update_item`
+    (sam_traindata.py:41-72); flat rows with an `image` column are also
+    accepted (pre-flattened local copies).
     """
 
-    def __init__(self, path: str, image_hw: int = 384, neg_prompt: str = ""):
+    def __init__(
+        self,
+        path: str,
+        image_hw: int = 384,
+        neg_prompt: str = "",
+        image_root: str = "",
+    ):
         if not os.path.exists(path):
             raise FileNotFoundError(f"LayoutSAM not found at {path}")
         from datasets import load_dataset
@@ -119,21 +145,46 @@ class LayoutSAMTrain:
         self.ds = load_dataset(path)["train"]
         self.hw = image_hw
         self.neg_prompt = neg_prompt
+        self.image_root = image_root
 
     def __len__(self):
         return len(self.ds)
 
+    def _flatten_raw(self, item) -> dict:
+        """update_item semantics (sam_traindata.py:41-72): pull the flat
+        columns out of `metadata` and load the image from the SAM dump
+        ('xx/<dirname>/<file>' -> root/int(dirname)/file)."""
+        from PIL import Image
+
+        meta = item["metadata"]
+        info = meta["image_info"]
+        bbox_info = meta["bbox_info"]
+        dirname, filename = item["image_path"][3:].split("/")
+        image = Image.open(
+            os.path.join(self.image_root, str(int(dirname)), filename)
+        ).convert("RGB")
+        return {
+            "image": image,
+            "height": info["height"],
+            "width": info["width"],
+            "global_caption": meta["global_caption"],
+            "bbox_list": [b["bbox"] for b in bbox_info],
+            "region_captions": [b["description"] for b in bbox_info],
+            "detail_region_captions": [
+                b["detail_description"] for b in bbox_info
+            ],
+        }
+
     def __getitem__(self, idx: int) -> Sample:
         item = self.ds[idx]
+        if "metadata" in item:
+            item = self._flatten_raw(item)
         image = np.asarray(item["image"].convert("RGB"))
         w, h = int(item["width"]), int(item["height"])
-        boxes = item["bbox_list"]
-        if isinstance(boxes, str):
-            boxes = ast.literal_eval(boxes)
-        boxes = _normalize_xyxy(boxes, w, h) * [w, h, w, h]
-        caps = item["detail_region_caption_list"]
-        if isinstance(caps, str):
-            caps = ast.literal_eval(caps)
+        boxes = _normalize_xyxy(_parse_list(item["bbox_list"]), w, h) * [w, h, w, h]
+        caps = _captions(item, detail=True)
+        if any(c is None for c in caps):
+            caps = _captions(item, detail=False)
         # xyxy -> xywh pixel, resize-crop, filter, back to normalized xyxy
         xywh = boxes.copy()
         xywh[:, 2] -= xywh[:, 0]

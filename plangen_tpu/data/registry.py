@@ -57,7 +57,12 @@ def _layoutsam_train(cfg, is_test):
     if is_test:
         return _layoutsam_eval(cfg, is_test)
     path = getattr(cfg, "layoutsam_path", None) or ""
-    return LayoutSAMTrain(path, image_hw=cfg.janus_hw, neg_prompt=cfg.generation.neg_prompt)
+    return LayoutSAMTrain(
+        path,
+        image_hw=cfg.janus_hw,
+        neg_prompt=cfg.generation.neg_prompt,
+        image_root=getattr(cfg, "layoutsam_image_root", "") or "",
+    )
 
 
 def _coco(cfg, is_test):
