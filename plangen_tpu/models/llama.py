@@ -216,11 +216,16 @@ def _layer(
                     cache_dict["v"], layer_idx, 0, keepdims=False
                 )
             if paged and Q == 1:
-                from plangen_tpu.ops.pallas_decode_attention import (
-                    prefix_decode_attention,
-                )
+                if paged == "v3":  # row-batched double-buffered DMA kernel
+                    from plangen_tpu.ops.pallas_decode_attention_v3 import (
+                        prefix_decode_attention_v3 as _prefix_attn,
+                    )
+                else:  # v2: per-row grid
+                    from plangen_tpu.ops.pallas_decode_attention import (
+                        prefix_decode_attention as _prefix_attn,
+                    )
 
-                attn = prefix_decode_attention(
+                attn = _prefix_attn(
                     q,
                     cache_dict["k"],
                     cache_dict["v"],

@@ -63,7 +63,10 @@ class ImageGenResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "num_tokens", "quantized_cache", "chunked", "paged"),
+    static_argnames=(
+        "cfg", "num_tokens", "quantized_cache", "chunked", "paged",
+        "growing_cache",
+    ),
     donate_argnames=(),
 )
 def generate_image_tokens(
@@ -79,7 +82,8 @@ def generate_image_tokens(
     num_tokens: int = 576,
     quantized_cache: bool = False,  # int8 KV cache (halves decode KV traffic)
     chunked: bool = False,  # decode attention reads only the valid cache prefix
-    paged: bool = False,  # Pallas prefix-DMA decode attention kernel
+    paged: bool = False,  # Pallas prefix-DMA decode attention (True=v2, "v3")
+    growing_cache: bool = False,  # phased cache growth (banks dead reads in XLA)
 ) -> ImageGenResult:
     """Fused CFG image-token generation: prefill + 576-step scan in one program.
 
@@ -88,6 +92,13 @@ def generate_image_tokens(
     softmax(logits/T) sampling; optional teacher forcing where regen_mask==0;
     the sampled token is fed back through gen_embed+gen_aligner to BOTH rows
     of its cond/uncond pair.
+
+    `growing_cache` runs the decode as consecutive scans over progressively
+    larger KV buffers (128-aligned), zero-padding the cache between phases:
+    XLA's full-buffer attention then reads only ~60% of the bytes the fixed
+    S_max buffer pays, at the cost of a few one-off pad copies. Token output
+    is bit-identical (attention over the extra zero slots is masked by
+    causality either way).
     """
     B2, L, H = cfg_embeds.shape
     B = B2 // 2
@@ -101,50 +112,124 @@ def generate_image_tokens(
             axis=1,
         )
         S_max = S_pad
-    cache = init_kv_cache(
-        cfg.llama, B2, S_max, dtype=cfg_embeds.dtype, quantized=quantized_cache
-    )
-
-    last_hidden, cache = prefill(params, cfg, cfg_embeds, attn_mask, cache)
 
     if gt_tokens is None:
         gt_tokens = jnp.zeros((B, num_tokens), dtype=jnp.int32)
         regen_mask = jnp.ones((B, num_tokens), dtype=jnp.int32)
     assert regen_mask is not None
 
-    def step(carry, i):
-        last_hidden, cache, key = carry
-        logits = vlm.image_gen_logits(params, last_hidden)  # [2B, V] fp32
-        combined = cfg_combine(logits, cfg_weight)  # [B, V]
-        # positional fold_in (not sequential splits): the sampled stream is
-        # then invariant to how frozen runs are batched, so the fast-edit
-        # path (runtime/fast_edit.py) is token-identical to this loop
-        sub = jax.random.fold_in(key, i)
-        token = sample_categorical(sub, combined, temperature)  # [B]
-        token = apply_teacher_forcing(token, gt_tokens[:, i], regen_mask[:, i])
-        # duplicate for cond/uncond rows (plangen_base.py:602-604)
-        pair_token = jnp.repeat(token, 2, axis=0)  # [2B]
-        next_embeds = vlm.gen_img_embeds(params, pair_token[:, None])  # [2B, 1, H]
-        next_embeds = next_embeds.astype(cfg_embeds.dtype)
-        pos = jnp.array([L + i], dtype=jnp.int32)
-        hidden, new_cache = llama.forward(
-            params["language_model"],
-            cfg.llama,
-            next_embeds,
-            attn_mask,
-            positions=pos,
-            kv_cache=cache,
-            chunked=chunked,
-            paged=paged,
-        )
-        return (hidden[:, -1], new_cache, key), token
+    def make_step(phase_mask):
+        def step(carry, i):
+            last_hidden, cache, key = carry
+            logits = vlm.image_gen_logits(params, last_hidden)  # [2B, V] fp32
+            combined = cfg_combine(logits, cfg_weight)  # [B, V]
+            # positional fold_in (not sequential splits): the sampled stream
+            # is then invariant to how frozen runs are batched, so the
+            # fast-edit path (runtime/fast_edit.py) is token-identical
+            sub = jax.random.fold_in(key, i)
+            token = sample_categorical(sub, combined, temperature)  # [B]
+            token = apply_teacher_forcing(token, gt_tokens[:, i], regen_mask[:, i])
+            # duplicate for cond/uncond rows (plangen_base.py:602-604)
+            pair_token = jnp.repeat(token, 2, axis=0)  # [2B]
+            next_embeds = vlm.gen_img_embeds(params, pair_token[:, None])
+            next_embeds = next_embeds.astype(cfg_embeds.dtype)
+            pos = jnp.array([L + i], dtype=jnp.int32)
+            hidden, new_cache = llama.forward(
+                params["language_model"],
+                cfg.llama,
+                next_embeds,
+                phase_mask,
+                positions=pos,
+                kv_cache=cache,
+                chunked=chunked,
+                paged=paged,
+            )
+            return (hidden[:, -1], new_cache, key), token
 
+        return step
+
+    if growing_cache and not (chunked or paged):
+        return _generate_growing(
+            params, cfg, cfg_embeds, attn_mask, rng, make_step,
+            num_tokens=num_tokens, quantized_cache=quantized_cache,
+        )
+
+    cache = init_kv_cache(
+        cfg.llama, B2, S_max, dtype=cfg_embeds.dtype, quantized=quantized_cache
+    )
+    last_hidden, cache = prefill(params, cfg, cfg_embeds, attn_mask, cache)
     (_, _, _), tokens = jax.lax.scan(
-        step,
+        make_step(attn_mask),
         (last_hidden, cache, rng),
         jnp.arange(num_tokens, dtype=jnp.int32),
     )
     return ImageGenResult(tokens=tokens.T)  # [B, N]
+
+
+def _grow_cache(cache, new_s: int):
+    """Zero-pad every cache buffer's slot axis (axis 2) to `new_s`."""
+    def pad(buf):
+        grow = new_s - buf.shape[2]
+        widths = [(0, 0)] * buf.ndim
+        widths[2] = (0, grow)
+        return jnp.pad(buf, widths)
+
+    return {k: pad(v) for k, v in cache.items()}
+
+
+def _generate_growing(
+    params, cfg, cfg_embeds, attn_mask, rng, make_step,
+    num_tokens: int, quantized_cache: bool, num_phases: int = 4,
+):
+    """Decode in phases over progressively larger KV buffers.
+
+    The full-buffer XLA attention reads the WHOLE allocated cache every step
+    (decode is HBM-bound, DESIGN.md §1), so a fixed S_max buffer wastes ~45%
+    of its reads on not-yet-written slots. Growing the buffer in 128-aligned
+    phases keeps those reads proportional to the live prefix; the per-phase
+    `jnp.pad` copy (a few GB total) amortizes over hundreds of steps. The
+    token stream is bit-identical to the fixed-buffer loop — same positions,
+    same masking, same RNG fold_in — verified in tests/test_generate.py.
+    """
+    B2, L, H = cfg_embeds.shape
+    S_max = L + num_tokens
+
+    # phase step counts: equal split, remainder into the last phase
+    base = num_tokens // num_phases
+    counts = [base] * num_phases
+    counts[-1] += num_tokens - base * num_phases
+    # phase buffer sizes: 128-aligned cover of the phase's last write,
+    # clamped to S_max (the final phase never over-allocates past the
+    # fixed-buffer size, so masks need no padding)
+    sizes = []
+    done = 0
+    for c in counts:
+        done += c
+        sizes.append(min(S_max, -(-(L + done) // 128) * 128))
+
+    cache = init_kv_cache(
+        cfg.llama, B2, sizes[0], dtype=cfg_embeds.dtype, quantized=quantized_cache
+    )
+    last_hidden, cache = prefill(
+        params, cfg, cfg_embeds, attn_mask[:, : sizes[0]], cache
+    )
+
+    key = rng
+    tokens_parts = []
+    start = 0
+    for p, (c, s) in enumerate(zip(counts, sizes)):
+        if cache["k"].shape[2] < s:
+            cache = _grow_cache(cache, s)
+        step = make_step(attn_mask[:, :s])
+        (last_hidden, cache, key), toks = jax.lax.scan(
+            step,
+            (last_hidden, cache, key),
+            start + jnp.arange(c, dtype=jnp.int32),
+        )
+        tokens_parts.append(toks)
+        start += c
+    tokens = jnp.concatenate(tokens_parts, axis=0)
+    return ImageGenResult(tokens=tokens.T)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))

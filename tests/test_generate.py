@@ -164,6 +164,76 @@ class TestTextDecode:
             assert (out[0, hit[0] :] == 1).all()
 
 
+class TestGrowingCache:
+    def _inputs(self, B=2, L=6):
+        params = vlm.init(KEY, TINY, dtype=F32)
+        ids = jax.random.randint(jax.random.PRNGKey(9), (2 * B, L), 0, 100)
+        embeds = vlm.embed_text(params, ids).astype(F32)
+        mask = np.ones((2 * B, L + N_IMG), dtype=np.int32)
+        mask[1, :2] = 0  # left-padded row
+        return params, embeds, jnp.asarray(mask)
+
+    def test_growing_matches_fixed_buffer(self):
+        """Phased cache growth must be token-identical to the fixed buffer,
+        with sampling on (same fold_in keys) and left padding. 160 steps so
+        the buffer actually grows (128 -> 166) across phase boundaries."""
+        params, embeds, mask = self._inputs()
+        n = 160
+        mask = jnp.asarray(
+            np.concatenate(
+                [np.asarray(mask)[:, : mask.shape[1] - N_IMG],
+                 np.ones((mask.shape[0], n), dtype=np.int32)], axis=1,
+            )
+        )
+        kwargs = dict(
+            rng=KEY,
+            cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(1.0),
+            num_tokens=n,
+        )
+        ref = generate_image_tokens(params, TINY, embeds, mask, **kwargs)
+        out = generate_image_tokens(
+            params, TINY, embeds, mask, growing_cache=True, **kwargs
+        )
+        np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(out.tokens))
+
+    def test_growing_with_quantized_cache(self):
+        params, embeds, mask = self._inputs()
+        kwargs = dict(
+            rng=KEY,
+            cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(0.0),
+            num_tokens=N_IMG,
+            quantized_cache=True,
+        )
+        ref = generate_image_tokens(params, TINY, embeds, mask, **kwargs)
+        out = generate_image_tokens(
+            params, TINY, embeds, mask, growing_cache=True, **kwargs
+        )
+        np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(out.tokens))
+
+    def test_growing_with_teacher_forcing(self):
+        params, embeds, mask = self._inputs()
+        gt = jax.random.randint(
+            jax.random.PRNGKey(4), (2, N_IMG), 0, TINY.image_token_size
+        )
+        regen = np.zeros((2, N_IMG), dtype=np.int32)
+        regen[:, 1] = 1
+        kwargs = dict(
+            rng=KEY,
+            cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(1.0),
+            num_tokens=N_IMG,
+            gt_tokens=gt,
+            regen_mask=jnp.asarray(regen),
+        )
+        ref = generate_image_tokens(params, TINY, embeds, mask, **kwargs)
+        out = generate_image_tokens(
+            params, TINY, embeds, mask, growing_cache=True, **kwargs
+        )
+        np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(out.tokens))
+
+
 class TestChunkedDecode:
     def test_chunked_matches_full(self):
         """Chunked decode attention (valid-prefix reads) must be exact."""
