@@ -105,6 +105,9 @@ def main() -> None:
                 temperature=jnp.float32(1.0),
                 num_tokens=n_img,
                 quantized_cache=quantized_cache,
+                # segmented growing cache: token-exact, +23% (DESIGN.md §2);
+                # BENCH_GROWING=0 reverts to the fixed-buffer program
+                growing_cache=os.environ.get("BENCH_GROWING", "1") == "1",
             )
             if with_vq:
                 # np.asarray forces device->host: on the experimental axon

@@ -191,6 +191,9 @@ class GenerationConfig:
     pad_edit_box: float = 0.0
     quantize: Optional[str] = None  # 'int8' = weight-only int8 decode path
     fast_edit: bool = False  # prefill frozen runs during teacher-forced editing
+    # segmented growing KV cache: token-exact, ~23% faster decode at B=32
+    # (docs/DESIGN.md §2); disable to get the single fixed-buffer program
+    growing_cache: bool = True
     # long negative prompt, cfg/base.py `neg_prompt`
     neg_prompt: str = (
         "low quality, jpeg artifacts, ugly, duplicate, morbid, mutilated, extra "

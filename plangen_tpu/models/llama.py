@@ -148,6 +148,7 @@ def _layer(
     chunked: bool = False,  # decode attention reads only the valid cache prefix
     attn_mask: Optional[jax.Array] = None,  # [B, S_max] (chunked/paged paths)
     paged: bool = False,  # Pallas prefix kernel: DMA only the live cache chunks
+    seg_write: Optional[int] = None,  # segmented cache: segment being written
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     B, Q, _ = x.shape
     xin = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
@@ -170,12 +171,57 @@ def _layer(
         # write — the cache is never copied (decode is HBM-bound; copying the
         # cache every token would multiply the step's memory traffic).
         cache_dict, layer_idx = cache
-        quantized = "k_scale" in cache_dict
 
         def write(buf, rows, idx5):
             return jax.lax.dynamic_update_slice(
                 buf, rows.astype(buf.dtype), idx5
             )
+
+        if "segs" in cache_dict:
+            # growing-cache decode: write this step's rows into the (static)
+            # active segment, attend over the live segments only. `bias` is a
+            # LIST of per-segment biases — its length = live segment count.
+            from plangen_tpu.ops.attention import (
+                quantize_kv, segmented_decode_attention,
+            )
+
+            segs = list(cache_dict["segs"])
+            w = dict(segs[seg_write])
+            quantized = "k_scale" in w
+            if quantized:
+                k_q8, k_s, v_q8, v_s = quantize_kv(k, v)
+                w["k"] = write(w["k"], k_q8[None], (layer_idx, 0, write_at, 0, 0))
+                w["v"] = write(w["v"], v_q8[None], (layer_idx, 0, write_at, 0, 0))
+                w["k_scale"] = write(
+                    w["k_scale"], k_s[None], (layer_idx, 0, write_at, 0)
+                )
+                w["v_scale"] = write(
+                    w["v_scale"], v_s[None], (layer_idx, 0, write_at, 0)
+                )
+            else:
+                w["k"] = write(w["k"], k[None], (layer_idx, 0, write_at, 0, 0))
+                w["v"] = write(w["v"], v[None], (layer_idx, 0, write_at, 0, 0))
+            segs[seg_write] = w
+
+            sl = lambda a: jax.lax.dynamic_index_in_dim(
+                a, layer_idx, 0, keepdims=False
+            )
+            live = len(bias)
+            seg_kv = []
+            for s in segs[:live]:
+                if quantized:
+                    seg_kv.append(
+                        (sl(s["k"]), sl(s["k_scale"]), sl(s["v"]), sl(s["v_scale"]))
+                    )
+                else:
+                    seg_kv.append((sl(s["k"]), sl(s["v"])))
+            attn = segmented_decode_attention(q, seg_kv, bias)
+            attn = attn.reshape(B, Q, cfg.q_dim)
+            x = x + qmatmul(attn, p["o_proj"]) + _lora_delta(lora, "o_proj", attn)
+            x = x + mlp_block(p, rms_norm(x, p["post_attn_norm"], cfg.rms_norm_eps))
+            return x, {"segs": segs}
+
+        quantized = "k_scale" in cache_dict
 
         if quantized:
             from plangen_tpu.ops.attention import (
@@ -283,6 +329,8 @@ def forward(
     use_flash: bool = False,  # Pallas flash attention for the no-cache path
     chunked: bool = False,  # cached decode reads only the valid cache prefix
     paged: bool = False,  # Pallas prefix-DMA decode attention
+    seg_write: Optional[int] = None,  # segmented cache: active segment (static);
+    # requires explicit `write_at` = offset WITHIN that segment
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack (final RMSNorm applied, no head).
 
@@ -300,13 +348,30 @@ def forward(
     B, Q, _ = inputs_embeds.shape
     if positions is None:
         positions = jnp.arange(Q, dtype=jnp.int32)
-    if kv_cache is None:
-        kv_positions = positions
+    if kv_cache is not None and "segs" in kv_cache:
+        # segmented (growing) cache: one bias per LIVE segment, with each
+        # segment's absolute slot offset baked in statically
+        assert seg_write is not None and write_at is not None
+        sizes = [s["k"].shape[2] for s in kv_cache["segs"]]
+        bias = []
+        off = 0
+        for s in sizes[: seg_write + 1]:
+            bias.append(
+                make_causal_bias(
+                    attn_mask[:, off : off + s],
+                    positions,
+                    off + jnp.arange(s, dtype=jnp.int32),
+                )
+            )
+            off += s
     else:
-        kv_positions = jnp.arange(kv_cache["k"].shape[2], dtype=jnp.int32)
-        if write_at is None:
-            write_at = positions[0]
-    bias = make_causal_bias(attn_mask, positions, kv_positions)
+        if kv_cache is None:
+            kv_positions = positions
+        else:
+            kv_positions = jnp.arange(kv_cache["k"].shape[2], dtype=jnp.int32)
+            if write_at is None:
+                write_at = positions[0]
+        bias = make_causal_bias(attn_mask, positions, kv_positions)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     layers = params["layers"]
@@ -366,7 +431,7 @@ def forward(
             x, cache = _layer(
                 layer_p, cfg, x, bias, cos, sin, (cache, l), write_at,
                 lora=with_scale(lora_slice), chunked=chunked,
-                attn_mask=attn_mask, paged=paged,
+                attn_mask=attn_mask, paged=paged, seg_write=seg_write,
             )
             return x, cache
 

@@ -115,6 +115,75 @@ def chunked_decode_attention(
     return out[:, None].astype(q.dtype)  # [B, 1, H, D]
 
 
+def segmented_decode_attention(
+    q: jax.Array,  # [B, Q, H, D]
+    segs: list,  # [(k, v) or (k_q8, k_scale, v_q8, v_scale)] per segment
+    biases: list,  # [B, 1|H, Q, s_i] additive bias per segment
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Attention over a KV cache split into static segments.
+
+    Exact online-softmax combine: per segment compute (max, partial sum,
+    unnormalized output) in fp32, then merge — mathematically identical to
+    softmax over the concatenated segments. Used by the growing-cache decode
+    (runtime/generate.py): each phase reads only the LIVE segments, so KV
+    traffic is proportional to the written prefix instead of S_max, with no
+    cache copies and no peak-memory overhead (the pad-based variant OOMed at
+    batch 32: old+new buffers coexist during the copy).
+
+    Segments are bf16 `(k, v)` pairs or int8 4-tuples with fp32 scales
+    folded into the logits/probs (same trick as dot_product_attention_q8).
+    """
+    B, Q, H, D = q.shape
+    if scale is None:
+        scale = D ** -0.5
+    partials = []
+    for seg, bias in zip(segs, biases):
+        quantized = len(seg) == 4
+        if quantized:
+            k, k_scale, v, v_scale = seg
+        else:
+            k, v = seg
+            k_scale = v_scale = None
+        Hkv = k.shape[2]
+        if Hkv != H:
+            rep = H // Hkv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+            if quantized:
+                k_scale = jnp.repeat(k_scale, rep, axis=2)
+                v_scale = jnp.repeat(v_scale, rep, axis=2)
+        logits = jnp.einsum(
+            "bqhd,bshd->bhqs", q, k.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if quantized:
+            logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, :]
+        logits = logits * scale + bias.astype(jnp.float32)
+        m = jnp.max(logits, axis=-1, keepdims=True)  # [B,H,Q,1]
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            p = p * v_scale.transpose(0, 2, 1)[:, :, None, :]
+        o = jnp.einsum(
+            "bhqs,bshd->bhqd", p.astype(q.dtype), v.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32)
+        partials.append((m, l, o))
+
+    m_all = partials[0][0]
+    for m, _, _ in partials[1:]:
+        m_all = jnp.maximum(m_all, m)
+    l_all = jnp.zeros_like(partials[0][1])
+    o_all = jnp.zeros_like(partials[0][2])
+    for m, l, o in partials:
+        alpha = jnp.exp(m - m_all)
+        l_all = l_all + l * alpha
+        o_all = o_all + o * alpha
+    out = o_all / jnp.maximum(l_all, 1e-30)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)  # [B, Q, H, D]
+
+
 def dot_product_attention_q8(
     q: jax.Array,  # [B, Q, H, D]
     k_q8: jax.Array,  # [B, S, Hkv, D] int8

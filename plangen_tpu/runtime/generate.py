@@ -118,7 +118,7 @@ def generate_image_tokens(
         regen_mask = jnp.ones((B, num_tokens), dtype=jnp.int32)
     assert regen_mask is not None
 
-    def make_step(phase_mask):
+    def make_step(phase_mask, seg=None):
         def step(carry, i):
             last_hidden, cache, key = carry
             logits = vlm.image_gen_logits(params, last_hidden)  # [2B, V] fp32
@@ -134,6 +134,10 @@ def generate_image_tokens(
             next_embeds = vlm.gen_img_embeds(params, pair_token[:, None])
             next_embeds = next_embeds.astype(cfg_embeds.dtype)
             pos = jnp.array([L + i], dtype=jnp.int32)
+            seg_kwargs = {}
+            if seg is not None:
+                seg_idx, seg_start = seg
+                seg_kwargs = dict(seg_write=seg_idx, write_at=pos[0] - seg_start)
             hidden, new_cache = llama.forward(
                 params["language_model"],
                 cfg.llama,
@@ -143,6 +147,7 @@ def generate_image_tokens(
                 kv_cache=cache,
                 chunked=chunked,
                 paged=paged,
+                **seg_kwargs,
             )
             return (hidden[:, -1], new_cache, key), token
 
@@ -152,6 +157,8 @@ def generate_image_tokens(
         return _generate_growing(
             params, cfg, cfg_embeds, attn_mask, rng, make_step,
             num_tokens=num_tokens, quantized_cache=quantized_cache,
+            # growing_cache=True -> 4 phases; an int picks the phase count
+            num_phases=(4 if growing_cache is True else int(growing_cache)),
         )
 
     cache = init_kv_cache(
@@ -166,61 +173,84 @@ def generate_image_tokens(
     return ImageGenResult(tokens=tokens.T)  # [B, N]
 
 
-def _grow_cache(cache, new_s: int):
-    """Zero-pad every cache buffer's slot axis (axis 2) to `new_s`."""
-    def pad(buf):
-        grow = new_s - buf.shape[2]
-        widths = [(0, 0)] * buf.ndim
-        widths[2] = (0, grow)
-        return jnp.pad(buf, widths)
-
-    return {k: pad(v) for k, v in cache.items()}
-
-
 def _generate_growing(
     params, cfg, cfg_embeds, attn_mask, rng, make_step,
     num_tokens: int, quantized_cache: bool, num_phases: int = 4,
 ):
-    """Decode in phases over progressively larger KV buffers.
+    """Decode in phases over a SEGMENTED KV cache.
 
     The full-buffer XLA attention reads the WHOLE allocated cache every step
     (decode is HBM-bound, DESIGN.md §1), so a fixed S_max buffer wastes ~45%
-    of its reads on not-yet-written slots. Growing the buffer in 128-aligned
-    phases keeps those reads proportional to the live prefix; the per-phase
-    `jnp.pad` copy (a few GB total) amortizes over hundreds of steps. The
-    token stream is bit-identical to the fixed-buffer loop — same positions,
-    same masking, same RNG fold_in — verified in tests/test_generate.py.
+    of its reads on not-yet-written slots. Here the cache is split into
+    128-aligned segments; phase p writes segment p and attends over segments
+    0..p with an exact online-softmax combine
+    (ops.attention.segmented_decode_attention). KV reads stay proportional
+    to the live prefix, total memory equals the fixed buffer, and there are
+    NO copies (an earlier pad-the-buffer variant held old+new buffers during
+    the copy and exhausted HBM at batch 32). The token stream matches the
+    fixed-buffer loop — same positions, masking, and RNG fold_in — verified
+    in tests/test_generate.py.
     """
+    from plangen_tpu.runtime.kvcache import init_segmented_kv_cache
+
     B2, L, H = cfg_embeds.shape
     S_max = L + num_tokens
 
-    # phase step counts: equal split, remainder into the last phase
-    base = num_tokens // num_phases
-    counts = [base] * num_phases
-    counts[-1] += num_tokens - base * num_phases
-    # phase buffer sizes: 128-aligned cover of the phase's last write,
-    # clamped to S_max (the final phase never over-allocates past the
-    # fixed-buffer size, so masks need no padding)
-    sizes = []
-    done = 0
-    for c in counts:
-        done += c
-        sizes.append(min(S_max, -(-(L + done) // 128) * 128))
+    # segment END offsets: 128-aligned, ~evenly spaced, strictly increasing
+    # (duplicates after rounding merge, so the effective phase count may be
+    # lower). Phase p writes EXACTLY absolute positions [ends[p-1], ends[p])
+    # (phase 0 starts at L after prefill), so every write lands inside its
+    # own segment. The total may exceed L + num_tokens by <128 — the extra
+    # tail slots are masked off and never written.
+    cap = -(-(L + num_tokens) // 128) * 128
+    ends = sorted(
+        {
+            min(cap, -(-(L + (p + 1) * num_tokens // num_phases) // 128) * 128)
+            for p in range(num_phases)
+        }
+    )
+    total = ends[-1]
+    assert total >= L + num_tokens
+    # per-phase decode step counts (step i writes position L + i)
+    counts = []
+    prev = L
+    for e in ends:
+        hi = min(e, L + num_tokens)
+        counts.append(max(0, hi - prev))
+        prev = max(prev, hi)
+    if total > attn_mask.shape[1]:
+        attn_mask = jnp.concatenate(
+            [attn_mask,
+             jnp.zeros((B2, total - attn_mask.shape[1]), dtype=attn_mask.dtype)],
+            axis=1,
+        )
+    seg_sizes = [ends[0]] + [b - a for a, b in zip(ends, ends[1:])]
+    seg_starts = [0] + ends[:-1]
 
-    cache = init_kv_cache(
-        cfg.llama, B2, sizes[0], dtype=cfg_embeds.dtype, quantized=quantized_cache
+    cache = init_segmented_kv_cache(
+        cfg.llama, B2, seg_sizes, dtype=cfg_embeds.dtype, quantized=quantized_cache
     )
-    last_hidden, cache = prefill(
-        params, cfg, cfg_embeds, attn_mask[:, : sizes[0]], cache
+    # prefill writes the prompt into segment 0 (L <= ends[0] by construction)
+    positions = jnp.arange(L, dtype=jnp.int32)
+    hidden, cache = llama.forward(
+        params["language_model"],
+        cfg.llama,
+        cfg_embeds,
+        attn_mask[:, : ends[0]],
+        positions=positions,
+        kv_cache=cache,
+        seg_write=0,
+        write_at=jnp.int32(0),
     )
+    last_hidden = hidden[:, -1]
 
     key = rng
     tokens_parts = []
     start = 0
-    for p, (c, s) in enumerate(zip(counts, sizes)):
-        if cache["k"].shape[2] < s:
-            cache = _grow_cache(cache, s)
-        step = make_step(attn_mask[:, :s])
+    for p, c in enumerate(counts):
+        if c == 0:  # tiny decodes may not reach later segments
+            continue
+        step = make_step(attn_mask[:, : ends[p]], seg=(p, seg_starts[p]))
         (last_hidden, cache, key), toks = jax.lax.scan(
             step,
             (last_hidden, cache, key),

@@ -43,3 +43,25 @@ def init_kv_cache(
             "v_scale": jnp.zeros(shape[:-1], dtype=jnp.float32),
         }
     return {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+
+
+def init_segmented_kv_cache(
+    cfg: LlamaConfig,
+    batch: int,
+    sizes,  # static per-segment slot counts; segment i covers absolute
+    # positions [sum(sizes[:i]), sum(sizes[:i+1]))
+    dtype=jnp.bfloat16,
+    quantized: bool = False,
+) -> KVCache:
+    """Cache split into static segments for the growing-cache decode.
+
+    Total memory equals one `init_kv_cache(sum(sizes))` buffer, but each
+    decode phase only READS the segments written so far (attention combines
+    them with exact online softmax, ops.attention.segmented_decode_attention)
+    — no pad copies, no peak-memory spike."""
+    return {
+        "segs": [
+            init_kv_cache(cfg, batch, s, dtype=dtype, quantized=quantized)
+            for s in sizes
+        ]
+    }

@@ -225,6 +225,7 @@ class PlanGenPipeline:
             cfg_weight=jnp.float32(self.gen.cfg_weight),
             temperature=jnp.float32(self.gen.temperature),
             quantized_cache=(self.gen.quantize == "int8"),
+            growing_cache=getattr(self.gen, "growing_cache", True),
             gt_tokens=gt_tokens,
             regen_mask=regen,
             num_tokens=n_img,

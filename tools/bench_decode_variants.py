@@ -59,6 +59,8 @@ def main():
         "paged_v3": {"paged": "v3"},
         "int8kv": {"quantized_cache": True},
         "growing": {"growing_cache": True},
+        "growing8": {"growing_cache": 8},
+        "grow_int8": {"growing_cache": True, "quantized_cache": True},
     }
 
     results = {}
