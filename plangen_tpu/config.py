@@ -194,6 +194,9 @@ class GenerationConfig:
     # segmented growing KV cache: token-exact, ~23% faster decode at B=32
     # (docs/DESIGN.md §2); disable to get the single fixed-buffer program
     growing_cache: bool = True
+    # convert generated pixels to uint8 ON DEVICE (4x smaller host fetch;
+    # bit-identical to the host save conversion). Off = float [-1, 1] API.
+    output_uint8: bool = False
     # long negative prompt, cfg/base.py `neg_prompt`
     neg_prompt: str = (
         "low quality, jpeg artifacts, ugly, duplicate, morbid, mutilated, extra "
@@ -246,6 +249,10 @@ class TrainConfig:
     use_local_edit_loss: bool = False  # restrict image CE to the edit region
     master_dtype: str = "float32"  # 'bfloat16' halves param memory (LoRA finetune)
     max_seq_len: int = 700
+    # async input pipeline (torch DataLoader num_workers/prefetch role):
+    # per-flow sample-fetch thread pool + batches prefetched ahead of the step
+    num_workers: int = 4
+    prefetch_depth: int = 2
     optim: OptimConfig = field(default_factory=OptimConfig)
     train_data: Tuple[FlowConfig, ...] = (FlowConfig(),)
     # validation workload (reference cfg `test_data`)

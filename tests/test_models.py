@@ -175,6 +175,18 @@ class TestSigLIP:
 
 
 class TestVQ:
+    def test_uint8_decode_matches_host_conversion(self):
+        """decode_code_uint8 (device) must equal the host save formula
+        (utils/visualize.py: clip((x+1)*127.5, 0, 255).astype(uint8))."""
+        cfg = TINY.vq
+        params = vq.init(KEY, cfg, dtype=F32)
+        idx = jax.random.randint(KEY, (2, 4), 0, cfg.codebook_size)
+        f = np.asarray(vq.decode_code(params, cfg, idx, (2, 2)), dtype=np.float32)
+        host = np.clip((f + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        dev = np.asarray(vq.decode_code_uint8(params, cfg, idx, (2, 2)))
+        assert dev.dtype == np.uint8
+        np.testing.assert_array_equal(dev, host)
+
     def test_encode_decode_shapes(self):
         cfg = TINY.vq
         params = vq.init(KEY, cfg, dtype=F32)
