@@ -36,6 +36,12 @@ class BatchLoader:
         seed: int = 0,
         drop_last: bool = True,
         workers: int = 0,  # >0: fetch each batch's samples via a thread pool
+        # multi-host data parallelism (reference: torch DistributedSampler):
+        # process `shard_id` of `num_shards` iterates a disjoint stride of the
+        # SAME shuffled epoch order, so the union of all processes' batches is
+        # the global batch and epochs stay aligned across hosts
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -43,6 +49,9 @@ class BatchLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.workers = workers
+        assert 0 <= shard_id < num_shards
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self._epoch = 0
         self._pool = None
         if workers > 0:
@@ -53,7 +62,7 @@ class BatchLoader:
             )
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _fetch(self, idxs) -> List[Any]:
@@ -68,6 +77,12 @@ class BatchLoader:
             rng = np.random.RandomState(self.seed + self._epoch)
             rng.shuffle(order)
         self._epoch += 1
+        if self.num_shards > 1:
+            # strided shard of the shared order; truncate so every shard
+            # yields the same number of batches (keeps hosts in lockstep)
+            order = order[self.shard_id :: self.num_shards]
+            order = order[: len(self.dataset) // self.num_shards]
+        n = len(order)
         end = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for s in range(0, end, self.batch_size):
             yield self._fetch([int(i) for i in order[s : s + self.batch_size]])

@@ -135,18 +135,28 @@ class Trainer:
     def build_dataloader(self):
         tcfg = self.cfg.train
         # flow batch_size is PER data-parallel shard (the reference's per-GPU
-        # batch, cfg train_data); the global batch scales with the dp size
+        # batch, cfg train_data); the global batch scales with the dp size.
+        # On multi-host pods each process loads only its 1/process_count of
+        # the global batch (reference: torch DistributedSampler) and the
+        # global arrays are assembled in _device_batches.
         dp = self.mesh.shape.get("data", 1)
+        nproc = jax.process_count()
         loaders = {}
         for fid, flow in enumerate(tcfg.train_data):
             ds = get_dataset(self.cfg, flow.data_name, is_test=False)
-            global_bs = flow.batch_size * dp
+            local_bs = flow.batch_size * dp // nproc
+            assert local_bs > 0, (
+                f"flow {fid}: global batch {flow.batch_size * dp} not "
+                f"divisible into {nproc} processes"
+            )
             loaders[fid] = BatchLoader(
-                ds, global_bs, shuffle=True, seed=tcfg.seed + fid,
+                ds, local_bs, shuffle=True, seed=tcfg.seed + fid,
                 workers=getattr(tcfg, "num_workers", 0),
+                num_shards=nproc, shard_id=jax.process_index(),
             )
             print(f"flow {fid}: task={flow.task_type} data={flow.data_name} "
-                  f"len={len(ds)} bs={flow.batch_size}x{dp}")
+                  f"len={len(ds)} bs={flow.batch_size}x{dp}"
+                  + (f" ({local_bs}/process)" if nproc > 1 else ""))
         combined = CombinedLoader(loaders)
         depth = getattr(tcfg, "prefetch_depth", 0)
         if depth > 0:
@@ -157,6 +167,15 @@ class Trainer:
 
     def _device_batches(self, flow_samples):
         batches = collate_flows(flow_samples, self.flow_tasks, self.processor)
+        if jax.process_count() > 1:
+            # multi-host: each process holds its local rows; assemble the
+            # globally-sharded arrays (XLA addresses only local shards)
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self._batch_sharding, np.asarray(x)
+                ),
+                batches,
+            )
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, self._batch_sharding), batches
         )
@@ -197,6 +216,17 @@ class Trainer:
                 metrics["sec_per_step"] = dt
                 self.logger.log(step + 1, metrics)
                 last_metrics = metrics
+                # failure detection at the logging cadence (the only host
+                # sync): a non-finite loss has already poisoned the Adam
+                # state, so save a post-mortem checkpoint and stop instead
+                # of burning accelerator time on NaNs
+                if not np.isfinite(metrics["loss"]):
+                    self.ckpt.save(step + 1, self.state, force=True)
+                    raise FloatingPointError(
+                        f"non-finite loss {metrics['loss']} at step {step + 1}"
+                        f" (metrics: {metrics}); state checkpointed for"
+                        " post-mortem"
+                    )
             if (step + 1) % tcfg.checkpointing_steps == 0:
                 self.ckpt.save(step + 1, self.state)
             if validate_fn is not None and (step + 1) % tcfg.validation_steps == 0:

@@ -151,6 +151,21 @@ class TestLoaders:
         with pytest.raises(ValueError, match="boom"):
             list(PrefetchLoader(bl, depth=2))
 
+    def test_sharded_loaders_partition_the_epoch(self):
+        """num_shards/shard_id (the DistributedSampler role): disjoint
+        strides of the SAME shuffled order, equal batch counts."""
+        def ids(shard):
+            bl = BatchLoader(
+                ToyDataset(size=11, image_hw=16), 2, seed=3,
+                num_shards=2, shard_id=shard,
+            )
+            assert len(bl) == 2  # 11 // 2 shards = 5 -> 2 batches of 2
+            return [s.image_id for b in bl for s in b]
+
+        a, b = ids(0), ids(1)
+        assert not (set(a) & set(b))
+        assert len(a) == len(b) == 4
+
     def test_prefetch_reiterable_and_infinite(self):
         from plangen_tpu.data.loader import PrefetchLoader
 

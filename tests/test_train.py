@@ -315,6 +315,30 @@ class TestGradAccumulation:
         assert np.isfinite(float(metrics["loss"]))
 
 
+class TestFailureDetection:
+    def test_nonfinite_loss_checkpoints_and_raises(self, tmp_path):
+        from plangen_tpu.cli import load_config
+        from plangen_tpu.train.trainer import Trainer
+
+        cfg = load_config("configs/toy_smoke.py", [
+            f"train.output_dir={tmp_path}/run",
+            "generation.max_new_text_tokens=4",
+        ])
+        t = Trainer(cfg)
+        real_step = t.step_fn
+
+        def poisoned(state, batches):
+            state, metrics = real_step(state, batches)
+            metrics["loss"] = jnp.float32(float("nan"))
+            return state, metrics
+
+        t.step_fn = poisoned
+        with pytest.raises(FloatingPointError, match="non-finite loss"):
+            t.fit(max_steps=1)
+        # post-mortem checkpoint written
+        assert t.ckpt.latest_step() == 1
+
+
 class TestTrainerResume:
     def test_resume_from_latest(self, tmp_path):
         """fit 2 steps -> new Trainer -> maybe_resume picks up step 2
