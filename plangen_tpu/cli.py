@@ -70,6 +70,14 @@ def cmd_eval(args) -> None:
     )
 
 
+def cmd_serve(args) -> None:
+    from plangen_tpu.serve import serve
+
+    cfg = load_config(args.cfg, args.opt)
+    serve(cfg, host=args.host, port=args.port,
+          max_batch=args.max_batch, wait_ms=args.wait_ms)
+
+
 def cmd_convert(args) -> None:
     """Convert a local Janus-Pro torch checkpoint (+ optional PlanGen
     finetune overlay) into an orbax params artifact."""
@@ -113,6 +121,15 @@ def main(argv=None) -> None:
     pe.add_argument("--max-len", type=int, default=20)
     pe.add_argument("--output", default="out/eval")
     pe.set_defaults(fn=cmd_eval)
+
+    ps = sub.add_parser("serve", help="microbatching HTTP inference server")
+    ps.add_argument("--cfg", default=None)
+    ps.add_argument("--opt", nargs="*", default=[])
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8000)
+    ps.add_argument("--max-batch", type=int, default=8)
+    ps.add_argument("--wait-ms", type=float, default=20.0)
+    ps.set_defaults(fn=cmd_serve)
 
     pc = sub.add_parser("convert", help="torch Janus checkpoint -> orbax params")
     pc.add_argument("--janus-path", required=True)

@@ -1,0 +1,247 @@
+"""Inference server: HTTP front + TPU-aware microbatching back.
+
+Production-serving layer the reference lacks (its inference is batch eval
+scripts, run_infer.sh). Design is TPU-first:
+
+  * ONE device-owner thread runs all generation — XLA programs are not
+    re-entrant-friendly and a single stream keeps the chip busy without
+    interleaving host dispatch.
+  * Requests queue up and are drained into microbatches padded to a FIXED
+    set of batch buckets (1, 2, 4, ..., max_batch): every (mode, bucket)
+    pair compiles once, so a bursty workload never triggers a fresh
+    multi-minute remote compile mid-flight. Padding rows reuse the first
+    request's prompt and are dropped from responses.
+  * Modes map 1:1 onto the pipeline: generate (uni), plan, joint
+    (uni_2stage), understand (mmu), edit/removal.
+
+Endpoints (JSON in/out):
+  POST /generate   {"caption": str, "grounding": str, "seed"?: int}
+                   -> {"image_b64": png, "tokens": [...]}
+  POST /plan       {"caption": str} -> {"grounding": str}
+  POST /joint      {"caption": str, "seed"?: int} -> {"grounding", "image_b64"}
+  POST /understand {"image_b64": png} -> {"grounding": str}
+  GET  /healthz    -> {"ok": true, "stats": {...}}
+
+Run: python -m plangen_tpu.cli serve --cfg ... --port 8000
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def _png_b64(image: np.ndarray) -> str:
+    from PIL import Image
+
+    if image.dtype != np.uint8:
+        image = np.clip((image + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(image).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _png_decode(b64: str, hw: int) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    img = img.resize((hw, hw))
+    return np.asarray(img).astype(np.float32) / 127.5 - 1.0
+
+
+@dataclass
+class _Request:
+    mode: str
+    payload: Dict[str, Any]
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Dict[str, Any]] = None
+    error: Optional[str] = None
+
+
+class Batcher:
+    """Device-owner thread: drains the queue into per-mode microbatches.
+
+    Batch sizes snap UP to the nearest bucket (1, 2, 4, ..., max_batch) so
+    each (mode, bucket) shape compiles exactly once. `wait_ms` bounds the
+    extra latency a request pays for batching."""
+
+    BUCKETS = (1, 2, 4, 8, 16, 32)
+
+    def __init__(self, pipeline, max_batch: int = 8, wait_ms: float = 20.0):
+        self.pipe = pipeline
+        self.max_batch = max_batch
+        self.wait_s = wait_ms / 1000.0
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "padded_rows": 0}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="plangen-batcher")
+        self._thread.start()
+
+    def submit(self, mode: str, payload: Dict[str, Any]) -> _Request:
+        req = _Request(mode, payload)
+        self.q.put(req)
+        return req
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------- internals
+
+    def _bucket(self, n: int) -> int:
+        for b in self.BUCKETS:
+            if b >= n:
+                return min(b, self.max_batch)
+        return self.max_batch
+
+    def _drain(self) -> List[_Request]:
+        try:
+            first = self.q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.wait_s
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self.q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt.mode != batch[0].mode:
+                # different program: push back and flush the current batch
+                self.q.put(nxt)
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self):
+        while not self._stop.is_set():
+            batch = self._drain()
+            if not batch:
+                continue
+            try:
+                self._run(batch)
+            except Exception as e:  # surface errors to every waiter
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+            finally:
+                for r in batch:
+                    r.done.set()
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+
+    def _pad(self, items: List[Any], bucket: int) -> List[Any]:
+        self.stats["padded_rows"] += bucket - len(items)
+        return items + [items[0]] * (bucket - len(items))
+
+    def _run(self, batch: List[_Request]):
+        mode = batch[0].mode
+        n = len(batch)
+        bucket = self._bucket(n)
+
+        if mode == "plan":
+            caps = self._pad([r.payload["caption"] for r in batch], bucket)
+            outs = self.pipe.plan(caps)
+            for r, g in zip(batch, outs):
+                r.result = {"grounding": g}
+            return
+
+        if mode == "understand":
+            hw = self.pipe.cfg.vision.image_size
+            imgs = self._pad(
+                [_png_decode(r.payload["image_b64"], hw) for r in batch], bucket
+            )
+            out = self.pipe.understand(np.stack(imgs))
+            for r, g in zip(batch, out.groundings):
+                r.result = {"grounding": g}
+            return
+
+        if mode in ("generate", "joint"):
+            caps = self._pad([r.payload["caption"] for r in batch], bucket)
+            seed = int(batch[0].payload.get("seed", self.pipe.gen.seed))
+            if mode == "joint":
+                out = self.pipe.joint_generate(caps, seed=seed)
+                groundings = out.groundings
+            else:
+                groundings = self._pad(
+                    [r.payload["grounding"] for r in batch], bucket
+                )
+                out = self.pipe.layout_to_image(caps, groundings, seed=seed)
+            for i, r in enumerate(batch):
+                r.result = {
+                    "image_b64": _png_b64(out.images[i]),
+                    "grounding": groundings[i],
+                    "tokens": [int(t) for t in out.image_tokens[i]],
+                }
+            return
+
+        raise ValueError(f"unknown mode {mode!r}")
+
+
+def make_handler(batcher: Batcher):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, obj: Dict[str, Any]):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True, "stats": batcher.stats})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            mode = self.path.strip("/")
+            if mode not in ("generate", "plan", "joint", "understand"):
+                self._send(404, {"error": f"unknown endpoint {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._send(400, {"error": f"bad json: {e}"})
+                return
+            req = batcher.submit(mode, payload)
+            req.done.wait()
+            if req.error:
+                self._send(500, {"error": req.error})
+            else:
+                self._send(200, req.result)
+
+    return Handler
+
+
+def serve(cfg, host: str = "127.0.0.1", port: int = 8000,
+          max_batch: int = 8, wait_ms: float = 20.0, params=None):
+    """Build the pipeline and serve until interrupted."""
+    from plangen_tpu.tasks.eval import build_pipeline
+
+    pipe = build_pipeline(cfg, params=params)
+    batcher = Batcher(pipe, max_batch=max_batch, wait_ms=wait_ms)
+    httpd = ThreadingHTTPServer((host, port), make_handler(batcher))
+    print(f"serving on http://{host}:{httpd.server_address[1]} "
+          f"(max_batch={max_batch}, wait_ms={wait_ms})", flush=True)
+    try:
+        httpd.serve_forever()
+    finally:
+        batcher.close()
+    return httpd

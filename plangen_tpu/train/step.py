@@ -137,7 +137,14 @@ def make_train_step(
         (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batches
         )
-        grads = _cast(grads, jnp.float32)
+        # grads in the master dtype: fp32 masters get fp32 grads as before;
+        # bf16 masters (single-chip finetune) must NOT upcast — the fp32
+        # grad + update copies alone exceed a v5e's HBM at 1B scale
+        grads = jax.tree_util.tree_map(
+            lambda g, p: g.astype(p.dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else g,
+            grads, state.params,
+        )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(new_params, new_opt_state, state.step + 1)

