@@ -52,6 +52,15 @@ def main():
     params = jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.float32))(
         jax.random.PRNGKey(0)
     )
+    if mode.startswith("lora"):
+        from plangen_tpu.train.lora import add_lora, init_lora
+
+        params = add_lora(
+            params,
+            jax.jit(lambda k: init_lora(k, cfg.llama, rank=256, alpha=128))(
+                jax.random.PRNGKey(2)
+            ),
+        )
     tcfg = TrainConfig(
         optim=OptimConfig(), gradient_checkpointing=remat, master_dtype=master,
     )
