@@ -266,6 +266,11 @@ class TrainConfig:
     plan_lr_scale: Optional[float] = None
     # mesh: axis name -> size; -1 means "all remaining devices"
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": -1, "model": 1})
+    # ZeRO-3-style parameter sharding over the data axis: masters, moments
+    # and grads shard with the params (required for full stage3 at 1B scale —
+    # one chip cannot hold them, docs/DESIGN.md §6)
+    fsdp: bool = False
+    fsdp_min_size: int = 2 ** 20
 
 
 @dataclass(frozen=True)

@@ -75,7 +75,11 @@ class Trainer:
                 cfg.use_special_tokens or cfg.use_numhw_tokens
             ):
                 tuning_mode = "lora_tokens"
-        self.params = shard_params(params, self.mesh)
+        fsdp_axis = "data" if getattr(tcfg, "fsdp", False) else None
+        self.params = shard_params(
+            params, self.mesh, fsdp_axis=fsdp_axis,
+            fsdp_min_size=getattr(tcfg, "fsdp_min_size", 2 ** 20),
+        )
 
         tx, self.mask = make_optimizer(tcfg.optim, self.params, tuning_mode)
         self.tx = tx
@@ -91,17 +95,27 @@ class Trainer:
             (i, f.task_type) for i, f in enumerate(tcfg.train_data)
         )
         self.flow_tasks = dict(self.flows)
+        import jax.numpy as _jnp
+
+        master_dtype = getattr(_jnp, getattr(tcfg, "master_dtype", "float32"))
+        self.state = init_train_state(self.params, tx, master_dtype=master_dtype)
+        state_shardings = None
+        if fsdp_axis is not None:
+            # pin the output layouts: without this, jit may re-replicate
+            # FSDP-sharded masters/moments after the update
+            from plangen_tpu.parallel.mesh import normalize_state_shardings
+
+            self.state, state_shardings = normalize_state_shardings(
+                self.state, self.mesh
+            )
         self.step_fn = make_train_step(
             cfg.model,
             tcfg,
             tx,
             pad_id=self.tokenizer.special.pad_id,
             flows=self.flows,
+            state_shardings=state_shardings,
         )
-        import jax.numpy as _jnp
-
-        master_dtype = getattr(_jnp, getattr(tcfg, "master_dtype", "float32"))
-        self.state = init_train_state(self.params, tx, master_dtype=master_dtype)
 
         self.ckpt = PlanGenCheckpointer(
             os.path.join(tcfg.output_dir, "checkpoints"),

@@ -315,6 +315,31 @@ class TestGradAccumulation:
         assert np.isfinite(float(metrics["loss"]))
 
 
+class TestTrainerFSDP:
+    def test_trainer_fsdp_shards_and_trains(self, tmp_path):
+        """train.fsdp=True: large params shard over the data axis end to end
+        through the Trainer (masters + Adam moments follow)."""
+        from jax.sharding import PartitionSpec as P
+
+        from plangen_tpu.cli import load_config
+        from plangen_tpu.train.trainer import Trainer
+
+        cfg = load_config("configs/toy_smoke.py", [
+            f"train.output_dir={tmp_path}/run",
+            "train.fsdp=True",
+            "train.fsdp_min_size=1000",
+            "generation.max_new_text_tokens=4",
+        ])
+        t = Trainer(cfg)
+        emb = t.state.params["language_model"]["embed_tokens"]
+        assert emb.sharding.spec != P()  # actually sharded
+        m = t.fit(max_steps=2)
+        assert np.isfinite(m["loss"])
+        # layouts survived the update (out_shardings pinned)
+        emb2 = t.state.params["language_model"]["embed_tokens"]
+        assert emb2.sharding.spec == emb.sharding.spec
+
+
 class TestFailureDetection:
     def test_nonfinite_loss_checkpoints_and_raises(self, tmp_path):
         from plangen_tpu.cli import load_config
