@@ -113,3 +113,32 @@ class TestShardedDecode:
         tp_params = shard_params(params, mesh, tp_axis="model")
         out = generate_image_tokens(tp_params, TINY, embeds, mask, **kwargs)
         np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(out.tokens))
+
+    def test_growing_cache_under_dp_and_tp(self):
+        """The segmented growing cache (serving default) must stay exact on
+        a dp x tp mesh — sharded segment buffers, sharded online-softmax
+        combine. 160 steps so segments actually grow."""
+        mesh = create_mesh({"data": 2, "model": 4})
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        B, L, n = 2, 6, 160
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2 * B, L), 0, 100)
+        embeds = vlm.embed_text(params, ids).astype(jnp.float32)
+        mask = jnp.ones((2 * B, L + n), dtype=jnp.int32)
+        kwargs = dict(
+            rng=KEY,
+            cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(1.0),
+            num_tokens=n,
+        )
+        ref = generate_image_tokens(params, TINY, embeds, mask, **kwargs)
+        sharded = generate_image_tokens(
+            shard_params(params, mesh, tp_axis="model"),
+            TINY,
+            jax.device_put(embeds, batch_sharding(mesh)),
+            jax.device_put(mask, batch_sharding(mesh)),
+            growing_cache=True,
+            **kwargs,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.tokens), np.asarray(sharded.tokens)
+        )
