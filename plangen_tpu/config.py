@@ -191,8 +191,9 @@ class GenerationConfig:
     pad_edit_box: float = 0.0
     quantize: Optional[str] = None  # 'int8' = weight-only int8 decode path
     fast_edit: bool = False  # prefill frozen runs during teacher-forced editing
-    # segmented growing KV cache: token-exact, ~23% faster decode at B=32
-    # (docs/DESIGN.md §2); disable to get the single fixed-buffer program
+    # segmented growing KV cache: ~23% faster decode at B=32, token streams
+    # matched the fixed buffer in every test and on-chip run
+    # (docs/DESIGN.md); disable to get the single fixed-buffer program
     growing_cache: bool = True
     # convert generated pixels to uint8 ON DEVICE (4x smaller host fetch;
     # bit-identical to the host save conversion). Off = float [-1, 1] API.

@@ -95,7 +95,32 @@ class GritSceneGraphDataset:
         self.neg_prompt = neg_prompt
         self.proportion_empty_prompts = proportion_empty_prompts
         self.use_min_iou_crop = use_min_iou_crop
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        # per-thread RNG streams: BatchLoader(workers>0) calls __getitem__
+        # from a pool, and np.random.RandomState is not thread-safe — a
+        # shared stream corrupts under concurrency. Each thread gets its own
+        # seeded stream (torch DataLoader's per-worker seeding, same
+        # reproducibility caveat: draws depend on the sample->thread map).
+        import threading
+
+        self._tls = threading.local()
+
+    @property
+    def rng(self) -> np.random.RandomState:
+        import threading
+
+        r = getattr(self._tls, "rng", None)
+        if r is None:
+            # main thread keeps the exact seeded stream (single-threaded
+            # loading stays run-reproducible); pool threads get derived ones
+            if threading.current_thread() is threading.main_thread():
+                r = np.random.RandomState(self.seed)
+            else:
+                r = np.random.RandomState(
+                    (self.seed + threading.get_ident()) % (2 ** 31 - 1)
+                )
+            self._tls.rng = r
+        return r
 
     def __len__(self):
         return len(self.items)

@@ -147,11 +147,17 @@ def forward(
     B, Hp, Wp, D = x.shape
     x = x.reshape(B, Hp * Wp, D) + params["patch_embed"]["b"]
     x = x + params["pos_embed"].astype(x.dtype)
+    layers = params.get("layers")
+    if layers is None:
+        # legacy round-1 trees stored per-block dicts under "blocks"; stack
+        # on the fly so old converted artifacts keep loading (new trees and
+        # the converter emit the stacked form directly)
+        layers = stack_blocks(params["blocks"])
 
     def body(x, layer_p):
         return _block(layer_p, cfg, x, use_flash=use_flash), None
 
     if remat:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, _ = jax.lax.scan(body, x, layers)
     return layer_norm(x, params["final_norm"], cfg.layer_norm_eps)

@@ -20,6 +20,10 @@ Endpoints (JSON in/out):
   POST /plan       {"caption": str} -> {"grounding": str}
   POST /joint      {"caption": str, "seed"?: int} -> {"grounding", "image_b64"}
   POST /understand {"image_b64": png} -> {"grounding": str}
+  POST /edit       {"caption"?, "grounding": str, "image_b64": png,
+                    "edit_region": [576 ints, 1 = regenerate],
+                    "neg_grounding"?: str (removal), "seed"?: int}
+                   -> {"image_b64": png, "tokens": [...]}
   GET  /healthz    -> {"ok": true, "stats": {...}}
 
 Run: python -m plangen_tpu.cli serve --cfg ... --port 8000
@@ -82,6 +86,7 @@ class Batcher:
         self.wait_s = wait_ms / 1000.0
         self.q: "queue.Queue[_Request]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0}
+        self._held: Optional[_Request] = None  # first request of the NEXT batch
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="plangen-batcher")
@@ -104,11 +109,26 @@ class Batcher:
                 return min(b, self.max_batch)
         return self.max_batch
 
+    @staticmethod
+    def _batch_key(req: _Request):
+        """Requests batch together only when they run the SAME program with
+        the same rng: mode + (for sampled modes) the requested seed — a
+        per-row seed can't be honored inside one `generate_image_tokens`
+        call, so distinct seeds get distinct batches instead of silently
+        inheriting row 0's."""
+        seed = None
+        if req.mode in ("generate", "joint"):
+            seed = req.payload.get("seed")
+        return (req.mode, seed)
+
     def _drain(self) -> List[_Request]:
-        try:
-            first = self.q.get(timeout=0.1)
-        except queue.Empty:
-            return []
+        if self._held is not None:
+            first, self._held = self._held, None
+        else:
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                return []
         batch = [first]
         deadline = time.perf_counter() + self.wait_s
         while len(batch) < self.max_batch:
@@ -119,9 +139,11 @@ class Batcher:
                 nxt = self.q.get(timeout=timeout)
             except queue.Empty:
                 break
-            if nxt.mode != batch[0].mode:
-                # different program: push back and flush the current batch
-                self.q.put(nxt)
+            if self._batch_key(nxt) != self._batch_key(first):
+                # different program: HOLD it as the next batch's head (a
+                # tail re-enqueue could starve it behind a sustained stream
+                # of the other mode) and flush the current batch
+                self._held = nxt
                 break
             batch.append(nxt)
         return batch
@@ -142,14 +164,15 @@ class Batcher:
                 self.stats["requests"] += len(batch)
                 self.stats["batches"] += 1
 
-    def _pad(self, items: List[Any], bucket: int) -> List[Any]:
-        self.stats["padded_rows"] += bucket - len(items)
+    @staticmethod
+    def _pad(items: List[Any], bucket: int) -> List[Any]:
         return items + [items[0]] * (bucket - len(items))
 
     def _run(self, batch: List[_Request]):
         mode = batch[0].mode
         n = len(batch)
         bucket = self._bucket(n)
+        self.stats["padded_rows"] += bucket - n
 
         if mode == "plan":
             caps = self._pad([r.payload["caption"] for r in batch], bucket)
@@ -187,6 +210,45 @@ class Batcher:
                 }
             return
 
+        if mode == "edit":
+            # layout-guided editing / removal: gt image + edit region
+            # (1 = regenerate); negative grounding optional (removal)
+            hw = self.pipe.cfg.vision.image_size
+            n_img = self.pipe.cfg.image_seq_len
+            caps = self._pad([r.payload.get("caption", "") for r in batch], bucket)
+            groundings = self._pad(
+                [r.payload["grounding"] for r in batch], bucket
+            )
+            imgs = self._pad(
+                [_png_decode(r.payload["image_b64"], hw) for r in batch], bucket
+            )
+            regions = self._pad(
+                [np.asarray(r.payload["edit_region"], dtype=np.int32)
+                 for r in batch],
+                bucket,
+            )
+            negs = [r.payload.get("neg_grounding") for r in batch]
+            neg_groundings = (
+                self._pad([g or "" for g in negs], bucket)
+                if any(negs) else None
+            )
+            for reg in regions:
+                if reg.shape != (n_img,):
+                    raise ValueError(
+                        f"edit_region must have {n_img} entries, got {reg.shape}"
+                    )
+            out = self.pipe.edit_image(
+                caps, groundings, np.stack(imgs), np.stack(regions),
+                neg_groundings=neg_groundings,
+                seed=int(batch[0].payload.get("seed", self.pipe.gen.seed)),
+            )
+            for i, r in enumerate(batch):
+                r.result = {
+                    "image_b64": _png_b64(out.images[i]),
+                    "tokens": [int(t) for t in out.image_tokens[i]],
+                }
+            return
+
         raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -211,7 +273,7 @@ def make_handler(batcher: Batcher):
 
         def do_POST(self):
             mode = self.path.strip("/")
-            if mode not in ("generate", "plan", "joint", "understand"):
+            if mode not in ("generate", "plan", "joint", "understand", "edit"):
                 self._send(404, {"error": f"unknown endpoint {self.path}"})
                 return
             try:

@@ -158,11 +158,12 @@ class Trainer:
         loaders = {}
         for fid, flow in enumerate(tcfg.train_data):
             ds = get_dataset(self.cfg, flow.data_name, is_test=False)
-            local_bs = flow.batch_size * dp // nproc
-            assert local_bs > 0, (
-                f"flow {fid}: global batch {flow.batch_size * dp} not "
-                f"divisible into {nproc} processes"
+            global_bs = flow.batch_size * dp
+            assert global_bs % nproc == 0 and global_bs >= nproc, (
+                f"flow {fid}: global batch {global_bs} must divide evenly "
+                f"into {nproc} processes (got remainder {global_bs % nproc})"
             )
+            local_bs = global_bs // nproc
             loaders[fid] = BatchLoader(
                 ds, local_bs, shuffle=True, seed=tcfg.seed + fid,
                 workers=getattr(tcfg, "num_workers", 0),

@@ -140,3 +140,64 @@ class TestServe:
         code, out = post(base, "/generate", {"caption": "no grounding"})
         assert code == 500
         assert "error" in out
+
+    def test_distinct_seeds_not_batched_together(self, server):
+        """Per-request seeds are honored: requests with different seeds run
+        in different batches, and the same (caption, seed) reproduces."""
+        base, batcher = server
+        outs = []
+        lock = threading.Lock()
+
+        def call(seed):
+            r = post(base, "/generate",
+                     {"caption": "same", "grounding": G, "seed": seed})
+            with lock:
+                outs.append((seed, r))
+
+        threads = [threading.Thread(target=call, args=(s,)) for s in (1, 2, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        by_seed = {}
+        for seed, (code, out) in outs:
+            assert code == 200
+            by_seed.setdefault(seed, []).append(tuple(out["tokens"]))
+        # same seed -> identical tokens even across batches
+        assert by_seed[1][0] == by_seed[1][1]
+
+    def test_edit_endpoint(self, server):
+        base, _ = server
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (TINY.vision.image_size,) * 2, (10, 120, 10)).save(
+            buf, format="PNG"
+        )
+        region = [0] * TINY.image_seq_len
+        region[1] = 1
+        code, out = post(base, "/edit", {
+            "caption": "scene",
+            "grounding": G,
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+            "edit_region": region,
+            "neg_grounding": "<ref>clutter</ref><box>[0, 0, 400, 400]</box>",
+        })
+        assert code == 200
+        assert len(out["tokens"]) == TINY.image_seq_len
+
+    def test_edit_bad_region_errors(self, server):
+        base, _ = server
+        code, out = post(base, "/edit", {
+            "grounding": G, "image_b64": _tiny_png(), "edit_region": [1, 0],
+        })
+        assert code == 500
+        assert "edit_region" in out["error"]
+
+
+def _tiny_png():
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (TINY.vision.image_size,) * 2).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
