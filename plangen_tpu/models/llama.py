@@ -215,15 +215,10 @@ def _layer(
                     )
                 else:
                     seg_kv.append((sl(s["k"]), sl(s["v"])))
+            # fall through to the shared o_proj/MLP tail at the end
             attn = segmented_decode_attention(q, seg_kv, bias)
-            attn = attn.reshape(B, Q, cfg.q_dim)
-            x = x + qmatmul(attn, p["o_proj"]) + _lora_delta(lora, "o_proj", attn)
-            x = x + mlp_block(p, rms_norm(x, p["post_attn_norm"], cfg.rms_norm_eps))
-            return x, {"segs": segs}
-
-        quantized = "k_scale" in cache_dict
-
-        if quantized:
+            new_cache = {"segs": segs}
+        elif "k_scale" in cache_dict:
             from plangen_tpu.ops.attention import (
                 dot_product_attention_q8,
                 quantize_kv,
@@ -249,6 +244,7 @@ def _layer(
                 sl(cache_dict["v_scale"]),
                 bias=bias,
             )
+            new_cache = cache_dict
         else:
             cache_dict = {
                 "k": write(cache_dict["k"], k[None], (layer_idx, 0, write_at, 0, 0)),
@@ -287,7 +283,7 @@ def _layer(
                 )
             else:
                 attn = dot_product_attention(q, k_full, v_full, bias=bias)
-        new_cache = cache_dict
+            new_cache = cache_dict
     elif flash_mask is not None:
         from plangen_tpu.ops.pallas_attention import flash_attention
 

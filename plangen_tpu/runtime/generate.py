@@ -38,6 +38,7 @@ def prefill(
     inputs_embeds: jax.Array,  # [B, L, H]
     attn_mask: jax.Array,  # [B, S_max]
     cache,
+    seg_write: Optional[int] = None,  # segmented cache: prompt goes in seg 0
 ) -> Tuple[jax.Array, Any]:
     """Run the prompt through the decoder, filling cache slots [0, L).
 
@@ -46,6 +47,9 @@ def prefill(
     """
     L = inputs_embeds.shape[1]
     positions = jnp.arange(L, dtype=jnp.int32)
+    seg_kwargs = {}
+    if seg_write is not None:
+        seg_kwargs = dict(seg_write=seg_write, write_at=jnp.int32(0))
     hidden, cache = llama.forward(
         params["language_model"],
         cfg.llama,
@@ -53,6 +57,7 @@ def prefill(
         attn_mask,
         positions=positions,
         kv_cache=cache,
+        **seg_kwargs,
     )
     return hidden[:, -1], cache
 
@@ -156,12 +161,21 @@ def generate_image_tokens(
 
         return step
 
-    if growing_cache and not (chunked or paged):
+    if growing_cache:
+        if chunked or paged:
+            raise ValueError(
+                "growing_cache is mutually exclusive with chunked/paged "
+                "decode attention (each is a different cache read strategy)"
+            )
+        # growing_cache=True -> 4 phases; an int picks the phase count
+        num_phases = 4 if growing_cache is True else int(growing_cache)
+        if num_phases < 1:
+            raise ValueError(f"growing_cache phase count must be >= 1, got "
+                             f"{num_phases}")
         return _generate_growing(
             params, cfg, cfg_embeds, attn_mask, rng, make_step,
             num_tokens=num_tokens, quantized_cache=quantized_cache,
-            # growing_cache=True -> 4 phases; an int picks the phase count
-            num_phases=(4 if growing_cache is True else int(growing_cache)),
+            num_phases=num_phases,
         )
 
     cache = init_kv_cache(
@@ -235,18 +249,9 @@ def _generate_growing(
         cfg.llama, B2, seg_sizes, dtype=cfg_embeds.dtype, quantized=quantized_cache
     )
     # prefill writes the prompt into segment 0 (L <= ends[0] by construction)
-    positions = jnp.arange(L, dtype=jnp.int32)
-    hidden, cache = llama.forward(
-        params["language_model"],
-        cfg.llama,
-        cfg_embeds,
-        attn_mask[:, : ends[0]],
-        positions=positions,
-        kv_cache=cache,
-        seg_write=0,
-        write_at=jnp.int32(0),
+    last_hidden, cache = prefill(
+        params, cfg, cfg_embeds, attn_mask[:, : ends[0]], cache, seg_write=0
     )
-    last_hidden = hidden[:, -1]
 
     key = rng
     tokens_parts = []

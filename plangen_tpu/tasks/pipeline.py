@@ -99,7 +99,7 @@ class PlanGenPipeline:
         happens ON DEVICE (bit-identical to the host save formula), shrinking
         the device->host fetch 4x — that fetch, not the decoder compute,
         dominates detokenize wall time over the tunnel (docs/DESIGN.md)."""
-        if getattr(self.gen, "output_uint8", False):
+        if self.gen.output_uint8:
             return np.asarray(
                 _vq_decode_u8(self.params, self.cfg, tokens, self.grid)
             )
@@ -246,7 +246,7 @@ class PlanGenPipeline:
             cfg_weight=jnp.float32(self.gen.cfg_weight),
             temperature=jnp.float32(self.gen.temperature),
             quantized_cache=(self.gen.quantize == "int8"),
-            growing_cache=getattr(self.gen, "growing_cache", True),
+            growing_cache=self.gen.growing_cache,
             gt_tokens=gt_tokens,
             regen_mask=regen,
             num_tokens=n_img,
