@@ -137,6 +137,29 @@ class PlanGenModelConfig:
         return (self.vision.image_size // self.vision.patch_size) ** 2
 
     @staticmethod
+    def janus_pro_7b() -> "PlanGenModelConfig":
+        """Janus-Pro-7B dims (deepseek-ai/Janus-Pro-7B HF config): the
+        DeepSeek-LLM-7B backbone; SigLIP tower and VQ tokenizer are shared
+        with 1B. The reference pins 1B (cfg/base.py:12) but the converter
+        and every runtime path are dimension-agnostic, so the larger family
+        member works end to end (serve it with tensor parallelism: bf16
+        weights alone are ~15 GB, one v5e chip holds the model but not the
+        batch-32 KV cache)."""
+        return PlanGenModelConfig(
+            llama=LlamaConfig(
+                hidden_size=4096,
+                intermediate_size=11008,
+                num_layers=30,
+                num_heads=32,
+                num_kv_heads=32,
+                head_dim=128,
+            ),
+            aligner=ProjectorConfig(input_dim=1024, n_embed=4096, depth=2),
+            gen_aligner=ProjectorConfig(input_dim=8, n_embed=4096, depth=2),
+            image_token_embed=4096,
+        )
+
+    @staticmethod
     def tiny() -> "PlanGenModelConfig":
         """A CPU-testable model with the same topology (for tests/CI)."""
         return PlanGenModelConfig(

@@ -162,6 +162,41 @@ class TestStructure:
         ):
             assert np.asarray(a).shape == np.asarray(b).shape, f"{p1}: {np.asarray(a).shape} vs {np.asarray(b).shape}"
 
+    def test_janus_pro_7b_shapes(self):
+        """The 7B family member: init tree shapes (via eval_shape — no 28 GB
+        allocation) are self-consistent and a 7B forward traces end to end."""
+        import jax.numpy as jnp
+
+        from plangen_tpu.models import llama, vlm
+
+        cfg = PlanGenModelConfig.janus_pro_7b()
+        shapes = jax.eval_shape(
+            lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+        )
+        lm = shapes["language_model"]
+        assert lm["layers"]["q_proj"].shape == (30, 4096, 32 * 128)
+        assert lm["embed_tokens"].shape == (102400, 4096)
+        assert shapes["aligner"]["layers"][0]["w"].shape == (1024, 4096)
+        assert shapes["gen_head"]["fc2"]["w"].shape == (4096, 16384)
+        n_params = sum(
+            int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(shapes)
+        )
+        assert 6.5e9 < n_params < 8.5e9, n_params
+
+        # full forward traces with the 7B dims (abstract, no memory)
+        def fwd(params, ids):
+            x = vlm.embed_text(params, ids)
+            h, _ = llama.forward(
+                params["language_model"], cfg.llama, x,
+                jnp.ones(ids.shape, jnp.int32),
+            )
+            return vlm.image_gen_logits(params, h[:, -1])
+
+        out = jax.eval_shape(
+            fwd, shapes, jax.ShapeDtypeStruct((2, 8), jnp.int32)
+        )
+        assert out.shape == (2, 16384)
+
 
 def vlm_init_np(cfg):
     from plangen_tpu.models import vlm
