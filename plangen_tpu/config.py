@@ -221,6 +221,11 @@ class GenerationConfig:
     # convert generated pixels to uint8 ON DEVICE (4x smaller host fetch;
     # bit-identical to the host save conversion). Off = float [-1, 1] API.
     output_uint8: bool = False
+    # self-speculative decoding (B=1 only, runtime/speculative.py):
+    # distribution-exact; speed depends on trained-weight draft agreement
+    speculative: bool = False
+    spec_draft_layers: int = 8
+    spec_draft_len: int = 4
     # long negative prompt, cfg/base.py `neg_prompt`
     neg_prompt: str = (
         "low quality, jpeg artifacts, ugly, duplicate, morbid, mutilated, extra "

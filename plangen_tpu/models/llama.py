@@ -327,6 +327,9 @@ def forward(
     paged: bool = False,  # Pallas prefix-DMA decode attention
     seg_write: Optional[int] = None,  # segmented cache: active segment (static);
     # requires explicit `write_at` = offset WITHIN that segment
+    layers_limit: Optional[int] = None,  # early exit after the first K layers
+    # (self-speculative drafting, runtime/speculative.py); final norm still
+    # applies, cache rows are written for layers [0, K) only
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack (final RMSNorm applied, no head).
 
@@ -432,7 +435,7 @@ def forward(
             return x, cache
 
         x, out_cache = jax.lax.fori_loop(
-            0, cfg.num_layers, body, (inputs_embeds, kv_cache)
+            0, layers_limit or cfg.num_layers, body, (inputs_embeds, kv_cache)
         )
 
     hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)

@@ -237,20 +237,42 @@ class PlanGenPipeline:
                 groundings=list(groundings),
                 edit_mask=edit_mask_out,
             )
-        result = generate_image_tokens(
-            self.params,
-            self.cfg,
-            embeds,
-            jnp.asarray(cfg_mask),
-            rng=rng,
-            cfg_weight=jnp.float32(self.gen.cfg_weight),
-            temperature=jnp.float32(self.gen.temperature),
-            quantized_cache=(self.gen.quantize == "int8"),
-            growing_cache=self.gen.growing_cache,
-            gt_tokens=gt_tokens,
-            regen_mask=regen,
-            num_tokens=n_img,
-        )
+        if (
+            getattr(self.gen, "speculative", False)
+            and B == 1
+            and gt_tokens is None
+        ):
+            # B=1 latency path: self-speculative decode (distribution-exact;
+            # see runtime/speculative.py for why B=1-only and opt-in)
+            from plangen_tpu.runtime.speculative import generate_image_tokens_spec
+
+            result = generate_image_tokens_spec(
+                self.params,
+                self.cfg,
+                embeds,
+                jnp.asarray(cfg_mask),
+                rng=rng,
+                cfg_weight=jnp.float32(self.gen.cfg_weight),
+                temperature=jnp.float32(self.gen.temperature),
+                num_tokens=n_img,
+                draft_layers=self.gen.spec_draft_layers,
+                draft_len=self.gen.spec_draft_len,
+            )
+        else:
+            result = generate_image_tokens(
+                self.params,
+                self.cfg,
+                embeds,
+                jnp.asarray(cfg_mask),
+                rng=rng,
+                cfg_weight=jnp.float32(self.gen.cfg_weight),
+                temperature=jnp.float32(self.gen.temperature),
+                quantized_cache=(self.gen.quantize == "int8"),
+                growing_cache=self.gen.growing_cache,
+                gt_tokens=gt_tokens,
+                regen_mask=regen,
+                num_tokens=n_img,
+            )
         return GenerationOutput(
             images=self._detokenize(result.tokens),
             image_tokens=np.asarray(result.tokens),
