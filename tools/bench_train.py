@@ -45,6 +45,7 @@ def main():
     remat = os.environ.get("TRAIN_REMAT", "1") == "1"
     master = os.environ.get("TRAIN_MASTER", "bfloat16")
     mode = os.environ.get("TRAIN_MODE", "stage3")
+    use_flash = os.environ.get("TRAIN_FLASH", "0") == "1"
 
     n_img = cfg.image_seq_len
     size = cfg.vision.image_size
@@ -63,6 +64,7 @@ def main():
         )
     tcfg = TrainConfig(
         optim=OptimConfig(), gradient_checkpointing=remat, master_dtype=master,
+        use_flash_attention=use_flash,
     )
     tx, _ = make_optimizer(tcfg.optim, params, mode)
     flows = ((0, "uni"), (1, "mmu"), (2, "plan"))
@@ -113,7 +115,7 @@ def main():
     sec = min(times)
     total_samples = uni_bs + mmu_bs + plan_bs
     print(
-        f"train step: {sec*1e3:.0f} ms  (remat={remat} master={master} "
+        f"train step: {sec*1e3:.0f} ms  (remat={remat} master={master} flash={use_flash} "
         f"mode={mode}; uni{uni_bs}+mmu{mmu_bs}+plan{plan_bs}, text_len={L})\n"
         f"throughput: {total_samples / sec:.2f} samples/s/chip, "
         f"{86400 / sec / 1000:.1f}k steps/day",
