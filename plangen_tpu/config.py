@@ -310,6 +310,8 @@ class PlanGenConfig:
     generation: GenerationConfig = field(default_factory=GenerationConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     janus_path: Optional[str] = None        # local Janus-Pro-1B dir (tokenizer+weights)
+    params_path: Optional[str] = None       # orbax artifact from `cli convert`
+    finetune_path: Optional[str] = None     # trainable_model_parameters.pth overlay
     # dataset roots (reference hardcodes cluster paths, cfg/base.py:12-16;
     # here they're config fields, None = dataset unavailable)
     layoutsam_path: Optional[str] = None

@@ -46,6 +46,10 @@ def build_pipeline(cfg: PlanGenConfig, params=None) -> PlanGenPipeline:
         gen=cfg.generation,
     )
     if params is None:
+        from plangen_tpu.convert.loading import load_params
+
+        params = load_params(cfg)
+    if params is None:
         params = vlm.init(
             jax.random.PRNGKey(cfg.generation.seed), cfg.model, dtype=jnp.bfloat16
         )

@@ -55,6 +55,11 @@ class Trainer:
         )
 
         if params is None:
+            from plangen_tpu.convert.loading import load_params
+
+            # training wants fp32 masters for the converted base weights
+            params = load_params(cfg, dtype=jnp.float32)
+        if params is None:
             params = vlm.init(
                 jax.random.PRNGKey(tcfg.seed), cfg.model, dtype=jnp.float32
             )

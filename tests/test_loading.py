@@ -1,0 +1,91 @@
+"""Weight resolution: every entry point can actually load real weights.
+
+Round-2 gap fix: eval/serve/train previously always random-initialized;
+now they resolve cfg.params_path (orbax artifact) or cfg.janus_path (HF
+checkout, converted on the fly) through convert/loading.load_params.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from plangen_tpu.cli import load_config
+from plangen_tpu.config import PlanGenModelConfig
+from plangen_tpu.convert.loading import load_params
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from test_golden_parity import make_janus_fixture_dir  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def janus_dir(tmp_path_factory):
+    tiny = PlanGenModelConfig.tiny()
+    return make_janus_fixture_dir(tmp_path_factory.mktemp("janus"), tiny)
+
+
+class TestLoadParams:
+    def test_none_when_no_weights(self):
+        cfg = load_config("configs/toy_smoke.py", [])
+        assert load_params(cfg) is None
+
+    def test_loads_from_janus_path(self, janus_dir):
+        cfg = load_config("configs/toy_smoke.py", [f"janus_path={janus_dir}"])
+        params = load_params(cfg, dtype=jnp.float32)
+        assert params is not None
+        assert params["language_model"]["layers"]["q_proj"].shape[0] == 2
+
+    def test_orbax_artifact_round_trip(self, janus_dir, tmp_path):
+        from plangen_tpu.cli import main
+
+        out = tmp_path / "artifact"
+        import plangen_tpu.config as config_mod
+
+        tiny = PlanGenModelConfig.tiny()
+        orig = config_mod.PlanGenModelConfig
+        config_mod.PlanGenModelConfig = lambda: tiny
+        try:
+            main(["convert", "--janus-path", str(janus_dir), "--out", str(out)])
+        finally:
+            config_mod.PlanGenModelConfig = orig
+
+        cfg = load_config("configs/toy_smoke.py", [f"params_path={out}"])
+        via_artifact = load_params(cfg, dtype=jnp.float32)
+        cfg2 = load_config("configs/toy_smoke.py", [f"janus_path={janus_dir}"])
+        via_torch = load_params(cfg2, dtype=jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(via_artifact["gen_embed"]),
+            np.asarray(via_torch["gen_embed"]),
+        )
+
+    def test_eval_pipeline_uses_loaded_weights(self, janus_dir):
+        from plangen_tpu.tasks.eval import build_pipeline
+
+        cfg = load_config("configs/toy_smoke.py", [
+            f"janus_path={janus_dir}",
+            "generation.max_new_text_tokens=4",
+        ])
+        pipe = build_pipeline(cfg)
+        want = load_params(cfg)  # same source
+        np.testing.assert_array_equal(
+            np.asarray(pipe.params["gen_embed"]),
+            np.asarray(want["gen_embed"]),
+        )
+
+    def test_trainer_starts_from_converted_base(self, janus_dir, tmp_path):
+        from plangen_tpu.train.trainer import Trainer
+
+        cfg = load_config("configs/toy_smoke.py", [
+            f"janus_path={janus_dir}",
+            f"train.output_dir={tmp_path}/run",
+            "generation.max_new_text_tokens=4",
+        ])
+        t = Trainer(cfg)
+        want = load_params(cfg, dtype=jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(t.params["gen_embed"]), np.asarray(want["gen_embed"])
+        )
