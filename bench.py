@@ -173,6 +173,7 @@ def main() -> None:
                 params, cfg, text_embeds, text_mask,
                 eos_id=jnp.int32(-1),  # never fires: decode the full budget
                 max_new_tokens=T,
+                growing_cache=os.environ.get("BENCH_GROWING", "1") == "1",
             )
             return np.asarray(toks)
 

@@ -271,7 +271,19 @@ def _generate_growing(
     return ImageGenResult(tokens=tokens.T)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def _text_phase_ends(L: int, max_new_tokens: int, num_phases: int):
+    """128-aligned phase end offsets for the text decode (same scheme as
+    _generate_growing)."""
+    cap = -(-(L + max_new_tokens) // 128) * 128
+    return sorted(
+        {
+            min(cap, -(-(L + (p + 1) * max_new_tokens // num_phases) // 128) * 128)
+            for p in range(num_phases)
+        }
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "growing_cache"))
 def greedy_decode_text(
     params: Params,
     cfg: PlanGenModelConfig,
@@ -279,6 +291,7 @@ def greedy_decode_text(
     attn_mask: jax.Array,  # [B, L + max_new_tokens]
     eos_id: jax.Array,  # scalar int32
     max_new_tokens: int = 512,
+    growing_cache: bool = False,  # segmented cache (see generate_image_tokens)
 ) -> jax.Array:
     """Greedy KV-cached text decode; rows that hit EOS keep emitting EOS.
 
@@ -287,42 +300,94 @@ def greedy_decode_text(
     typically finish in tens of tokens, so this skips most of the 512-step
     budget (HF generate stops the same way via its stopping criteria).
     The output buffer is pre-filled with EOS so skipped steps read as padding.
+
+    `growing_cache` decodes over a segmented cache: with the 512-token budget
+    the fixed buffer makes EVERY early step read L+512 slots, while typical
+    plan outputs finish inside the first 128-aligned segment — which also
+    keeps the math bit-identical there (a single segment is plain attention
+    over fewer all-masked slots). Early-exit still applies per phase.
     Returns [B, max_new_tokens] int32.
     """
     B, L, H = inputs_embeds.shape
-    S_max = L + max_new_tokens
-    cache = init_kv_cache(cfg.llama, B, S_max, dtype=inputs_embeds.dtype)
-    last_hidden, cache = prefill(params, cfg, inputs_embeds, attn_mask, cache)
+
+    def make_body(phase_mask, seg=None):
+        def body(state):
+            i, last_hidden, cache, done, tokens = state
+            logits = llama.lm_head(params["language_model"], last_hidden)
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            token = jnp.where(done, eos_id, token)
+            done = done | (token == eos_id)
+            tokens = jax.lax.dynamic_update_slice(tokens, token[:, None], (0, i))
+            next_embeds = vlm.embed_text(params, token[:, None]).astype(
+                inputs_embeds.dtype
+            )
+            pos = jnp.array([L], dtype=jnp.int32) + i
+            seg_kwargs = {}
+            if seg is not None:
+                seg_idx, seg_start = seg
+                seg_kwargs = dict(seg_write=seg_idx, write_at=pos[0] - seg_start)
+            hidden, cache = llama.forward(
+                params["language_model"],
+                cfg.llama,
+                next_embeds,
+                phase_mask,
+                positions=pos,
+                kv_cache=cache,
+                **seg_kwargs,
+            )
+            return (i + 1, hidden[:, -1], cache, done, tokens)
+
+        return body
 
     tokens0 = jnp.full((B, max_new_tokens), eos_id, dtype=jnp.int32)
     done0 = jnp.zeros((B,), dtype=bool)
+
+    if growing_cache:
+        from plangen_tpu.runtime.kvcache import init_segmented_kv_cache
+
+        ends = _text_phase_ends(L, max_new_tokens, 4)
+        total = ends[-1]
+        if total > attn_mask.shape[1]:
+            attn_mask = jnp.concatenate(
+                [attn_mask,
+                 jnp.zeros((B, total - attn_mask.shape[1]), attn_mask.dtype)],
+                axis=1,
+            )
+        seg_sizes = [ends[0]] + [b - a for a, b in zip(ends, ends[1:])]
+        seg_starts = [0] + ends[:-1]
+        cache = init_segmented_kv_cache(
+            cfg.llama, B, seg_sizes, dtype=inputs_embeds.dtype
+        )
+        last_hidden, cache = prefill(
+            params, cfg, inputs_embeds, attn_mask[:, : ends[0]], cache,
+            seg_write=0,
+        )
+        state = (jnp.int32(0), last_hidden, cache, done0, tokens0)
+        prev = L
+        for p, e in enumerate(ends):
+            hi = min(e, L + max_new_tokens)
+            bound = hi - L  # step index bound for this phase
+            if hi <= prev:
+                continue
+            prev = hi
+            body = make_body(attn_mask[:, :e], seg=(p, seg_starts[p]))
+
+            def cond(state, bound=bound):
+                i, _, _, done, _ = state
+                return (i < bound) & jnp.logical_not(jnp.all(done))
+
+            state = jax.lax.while_loop(cond, body, state)
+        return state[4]
+
+    S_max = L + max_new_tokens
+    cache = init_kv_cache(cfg.llama, B, S_max, dtype=inputs_embeds.dtype)
+    last_hidden, cache = prefill(params, cfg, inputs_embeds, attn_mask, cache)
 
     def cond(state):
         i, _, _, done, _ = state
         return (i < max_new_tokens) & jnp.logical_not(jnp.all(done))
 
-    def body(state):
-        i, last_hidden, cache, done, tokens = state
-        logits = llama.lm_head(params["language_model"], last_hidden)  # [B, V] fp32
-        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        token = jnp.where(done, eos_id, token)
-        done = done | (token == eos_id)
-        tokens = jax.lax.dynamic_update_slice(tokens, token[:, None], (0, i))
-        next_embeds = vlm.embed_text(params, token[:, None]).astype(
-            inputs_embeds.dtype
-        )
-        pos = jnp.array([L], dtype=jnp.int32) + i
-        hidden, cache = llama.forward(
-            params["language_model"],
-            cfg.llama,
-            next_embeds,
-            attn_mask,
-            positions=pos,
-            kv_cache=cache,
-        )
-        return (i + 1, hidden[:, -1], cache, done, tokens)
-
     _, _, _, _, tokens = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), last_hidden, cache, done0, tokens0)
+        cond, make_body(attn_mask), (jnp.int32(0), last_hidden, cache, done0, tokens0)
     )
     return tokens

@@ -123,6 +123,7 @@ class PlanGenPipeline:
             jnp.asarray(mask),
             jnp.int32(self.proc.tok.special.eos_id),
             max_new_tokens=budget,
+            growing_cache=self.gen.growing_cache,
         )
         texts = self.proc.decode_until_eos(np.asarray(tokens))
         return [truncate_grounding(t) for t in texts]
@@ -152,6 +153,7 @@ class PlanGenPipeline:
             jnp.asarray(batch.attn_mask),
             jnp.int32(self.proc.tok.special.eos_id),
             max_new_tokens=budget,
+            growing_cache=self.gen.growing_cache,
         )
         texts = self.proc.decode_until_eos(np.asarray(tokens))
         return GenerationOutput(texts=texts, groundings=texts)

@@ -234,6 +234,46 @@ class TestGrowingCache:
         np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(out.tokens))
 
 
+class TestGrowingTextDecode:
+    def test_growing_matches_fixed(self):
+        """Segmented greedy text decode == fixed buffer, crossing a phase
+        boundary (160 new tokens, no EOS so the full budget decodes)."""
+        params = vlm.init(KEY, TINY, dtype=F32)
+        B, L, T = 2, 6, 160
+        ids = jax.random.randint(jax.random.PRNGKey(9), (B, L), 3, 100)
+        embeds = vlm.embed_text(params, ids).astype(F32)
+        mask = jnp.ones((B, L + T), dtype=jnp.int32)
+        base = greedy_decode_text(
+            params, TINY, embeds, mask, jnp.int32(-1), max_new_tokens=T
+        )
+        grown = greedy_decode_text(
+            params, TINY, embeds, mask, jnp.int32(-1), max_new_tokens=T,
+            growing_cache=True,
+        )
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(grown))
+
+    def test_growing_eos_early_exit(self):
+        """EOS padding semantics survive the phased loops."""
+        params = vlm.init(KEY, TINY, dtype=F32)
+        B, L, T = 2, 6, 160
+        ids = jax.random.randint(jax.random.PRNGKey(9), (B, L), 3, 100)
+        embeds = vlm.embed_text(params, ids).astype(F32)
+        mask = jnp.ones((B, L + T), dtype=jnp.int32)
+        eos = jnp.int32(1)
+        base = np.asarray(greedy_decode_text(
+            params, TINY, embeds, mask, eos, max_new_tokens=T
+        ))
+        grown = np.asarray(greedy_decode_text(
+            params, TINY, embeds, mask, eos, max_new_tokens=T,
+            growing_cache=True,
+        ))
+        np.testing.assert_array_equal(base, grown)
+        for row in grown:
+            hit = np.where(row == 1)[0]
+            if len(hit):
+                assert (row[hit[0]:] == 1).all()
+
+
 class TestChunkedDecode:
     def test_chunked_matches_full(self):
         """Chunked decode attention (valid-prefix reads) must be exact."""
