@@ -22,7 +22,7 @@ Replace REF_TOKENS_PER_SEC with a measured number when reference hardware
 is available.
 
 Env knobs: BENCH_BATCH (default 32), BENCH_PROMPT_LEN (64), BENCH_REPEATS
-(3), BENCH_INT8 / BENCH_INT8_KV (quantized serving path), BENCH_FAST=1
+(3), BENCH_INT8 / BENCH_INT8_KV / BENCH_INT4 (quantized serving paths), BENCH_FAST=1
 (headline metric only — skip the B=1 / MMU programs).
 """
 
@@ -78,7 +78,11 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     # jit the init: one compiled program instead of per-op tunnel dispatches
     params = jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16))(key)
-    if os.environ.get("BENCH_INT8") == "1":
+    if os.environ.get("BENCH_INT4") == "1":
+        from plangen_tpu.ops.quant import quantize_lm_params_int4
+
+        params = jax.jit(quantize_lm_params_int4)(params)
+    elif os.environ.get("BENCH_INT8") == "1":
         from plangen_tpu.ops.quant import quantize_lm_params
 
         params = quantize_lm_params(params)

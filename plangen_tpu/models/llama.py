@@ -84,6 +84,26 @@ def init(key: jax.Array, cfg: LlamaConfig, dtype=jnp.bfloat16) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def index_layer_params(layers: Params, l) -> Params:
+    """Per-layer view of the stacked layer params for the cached fori_loop.
+
+    Dense / int8 leaves are dynamic-indexed (XLA fuses the slice into the
+    consuming matmul, no copy). int4 Pallas leaves are NOT sliced — a sliced
+    pallas_call operand would materialize an HBM copy of the layer's weights
+    every decode step — instead the stacked arrays pass through with the
+    layer index attached for the kernel's scalar-prefetch block indexing.
+    """
+    out = {}
+    for k, v in layers.items():
+        if isinstance(v, dict) and "w_p4" in v:
+            out[k] = {**v, "_layer": l}
+        else:
+            out[k] = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False), v
+            )
+    return out
+
+
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -415,10 +435,7 @@ def forward(
         # step (measured 3x decode slowdown at batch 16).
         def body(l, carry):
             x, cache = carry
-            layer_p = jax.tree_util.tree_map(
-                lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
-                layers,
-            )
+            layer_p = index_layer_params(layers, l)
             lora_slice = (
                 None
                 if lora_xs is None

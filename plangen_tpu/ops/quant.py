@@ -39,7 +39,20 @@ def is_quantized(w: Any) -> bool:
 
 
 def qmatmul(x: jax.Array, w: Union[jax.Array, QuantWeight]) -> jax.Array:
-    """x @ w for plain or quantized weights (dequant fused into the matmul)."""
+    """x @ w for plain or quantized weights (dequant fused into the matmul).
+
+    int8 leaves ({"w_q8", "scale"}) use a plain XLA matmul — the int8->bf16
+    convert fuses into the operand read. int4 leaves ({"w_p4", ...}) dispatch
+    to the Pallas packed-nibble kernel (ops/pallas_int4_matmul.py); stacked
+    [L, ...] int4 leaves carry the layer index under "_layer" (attached by
+    llama.index_layer_params) so the kernel reads the layer's block straight
+    out of the stacked HBM array instead of slicing it (a sliced pallas
+    operand would materialize an HBM copy every step).
+    """
+    if isinstance(w, dict) and "w_p4" in w:
+        from plangen_tpu.ops.pallas_int4_matmul import int4_matmul
+
+        return int4_matmul(x, w, layer=w.get("_layer"))
     if not is_quantized(w):
         return x @ w
     out = x @ w["w_q8"].astype(x.dtype)
@@ -60,15 +73,30 @@ _LM_QUANT_KEYS = (
 def quantize_lm_params(params: Dict[str, Any]) -> Dict[str, Any]:
     """Quantize the decode-dominant weights: LM layer matmuls, lm_head, and
     the gen_head classifier. Norms/embeddings stay full precision."""
+    return _quantize_lm(params, quantize_weight)
+
+
+def quantize_lm_params_int4(params: Dict[str, Any]) -> Dict[str, Any]:
+    """int4 variant of quantize_lm_params (Pallas kernel serving path).
+
+    Halves decode weight traffic again vs int8. Opt-in like int8; per-output-
+    channel scales (the int8 scheme's granularity — coarser than group-wise
+    int4, acceptable for the serving path and trivially upgradable)."""
+    from plangen_tpu.ops.pallas_int4_matmul import quantize_weight_int4
+
+    return _quantize_lm(params, quantize_weight_int4)
+
+
+def _quantize_lm(params: Dict[str, Any], qfn) -> Dict[str, Any]:
     out = dict(params)
     lm = dict(out["language_model"])
     layers = dict(lm["layers"])
     for k in _LM_QUANT_KEYS:
-        layers[k] = quantize_weight(layers[k])
+        layers[k] = qfn(layers[k])
     lm["layers"] = layers
-    lm["lm_head"] = quantize_weight(lm["lm_head"])
+    lm["lm_head"] = qfn(lm["lm_head"])
     out["language_model"] = lm
     gen_head = {k: dict(v) for k, v in out["gen_head"].items()}
-    gen_head["fc2"]["w"] = quantize_weight(gen_head["fc2"]["w"])
+    gen_head["fc2"]["w"] = qfn(gen_head["fc2"]["w"])
     out["gen_head"] = gen_head
     return out

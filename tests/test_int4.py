@@ -1,0 +1,221 @@
+"""int4 packed-weight matmul kernel: packing roundtrip, kernel-vs-reference
+numerics (interpret mode on CPU), qmatmul dispatch, and a cached-decode
+equivalence run through the llama stack.
+
+Reference role: serving-side weight quantization (absent in the reference —
+its decode reads full bf16 weights every step, plangen_base.py:567-607).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plangen_tpu.config import LlamaConfig
+from plangen_tpu.models import llama
+from plangen_tpu.ops.pallas_int4_matmul import (
+    dequantize_weight_int4,
+    int4_matmul,
+    int4_matmul_reference,
+    quantize_weight_int4,
+)
+from plangen_tpu.ops.quant import qmatmul, quantize_lm_params_int4
+
+KEY = jax.random.PRNGKey(0)
+
+# smallest dims the kernel's lane tiling supports: out/2 multiple of 128
+I, O = 256, 512
+
+
+def _rand_w(key, *shape):
+    return jax.random.normal(key, shape, jnp.float32) / np.sqrt(shape[-2])
+
+
+class TestPacking:
+    def test_roundtrip_error_bound(self):
+        w = _rand_w(KEY, I, O)
+        q = quantize_weight_int4(w)
+        deq = dequantize_weight_int4(q, dtype=jnp.float32)
+        # |w - deq| <= scale/2 per column (round-to-nearest on a 15-level grid)
+        scale = jnp.concatenate([q["s_lo"], q["s_hi16"] * 16.0], axis=-1)
+        err = jnp.abs(deq - w)
+        assert bool(jnp.all(err <= scale * 0.5 + 1e-6))
+
+    def test_packed_shapes(self):
+        q = quantize_weight_int4(_rand_w(KEY, 3, I, O))
+        assert q["w_p4"].shape == (3, I, O // 2)
+        assert q["w_p4"].dtype == jnp.int8
+        assert q["s_lo"].shape == (3, 1, O // 2)
+        assert q["s_hi16"].shape == (3, 1, O // 2)
+
+    def test_extreme_values_survive(self):
+        # columns hitting the +-absmax endpoints decode exactly
+        w = jnp.array(np.linspace(-1, 1, I)[:, None] * np.ones((1, O)), jnp.float32)
+        q = quantize_weight_int4(w)
+        deq = dequantize_weight_int4(q, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(deq[0]), np.asarray(w[0]), rtol=0, atol=1e-6
+        )
+
+
+class TestKernel:
+    def test_matches_reference_unstacked(self):
+        w = _rand_w(KEY, I, O)
+        q = quantize_weight_int4(w)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, I), jnp.bfloat16)
+        out = int4_matmul(x, q, interpret=True)
+        ref = int4_matmul_reference(x, q)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+    def test_stacked_layer_index(self):
+        q = quantize_weight_int4(_rand_w(KEY, 3, I, O))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, I), jnp.bfloat16)
+        for l in range(3):
+            out = int4_matmul(x, q, layer=jnp.int32(l), interpret=True)
+            ref = int4_matmul_reference(x, q, layer=l)
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                rtol=2e-2, atol=2e-2,
+            )
+
+    def test_row_tiling_and_padding(self):
+        # R=700 forces multi-row-tile grid with pad; batch+seq dims collapse
+        q = quantize_weight_int4(_rand_w(KEY, I, O))
+        x = jax.random.normal(jax.random.PRNGKey(2), (7, 100, I), jnp.bfloat16)
+        out = int4_matmul(x, q, interpret=True)
+        assert out.shape == (7, 100, O)
+        ref = int4_matmul_reference(x.reshape(-1, I), q).reshape(7, 100, O)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+    def test_large_rows_dense_fallback(self):
+        # R > 1024 takes the dequant+dense prefill path (the decode kernel's
+        # [R, OH] VMEM output staging would exceed scoped VMEM at prefill)
+        q = quantize_weight_int4(_rand_w(KEY, 2, I, O))
+        x = jax.random.normal(jax.random.PRNGKey(4), (2048, I), jnp.bfloat16)
+        out = int4_matmul(x, q, layer=jnp.int32(1), interpret=True)
+        ref = int4_matmul_reference(x, q, layer=1)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+    def test_qmatmul_dispatch(self):
+        q = quantize_weight_int4(_rand_w(KEY, I, O))
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, I), jnp.bfloat16)
+        out = qmatmul(x, q)
+        ref = int4_matmul(x, q, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+    def test_qmatmul_dispatch_with_layer(self):
+        q = quantize_weight_int4(_rand_w(KEY, 2, I, O))
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, I), jnp.bfloat16)
+        out = qmatmul(x, {**q, "_layer": jnp.int32(1)})
+        ref = int4_matmul(x, q, layer=jnp.int32(1), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+def _int4_cfg():
+    # smallest llama dims whose packed halves are 128-lane aligned
+    return LlamaConfig(
+        vocab_size=1024,
+        hidden_size=256,
+        intermediate_size=512,
+        num_layers=2,
+        num_heads=2,
+        num_kv_heads=2,
+        head_dim=128,
+        max_position_embeddings=128,
+    )
+
+
+def _quantize_layers(params):
+    from plangen_tpu.ops.quant import _LM_QUANT_KEYS
+
+    out = dict(params)
+    layers = dict(out["layers"])
+    for k in _LM_QUANT_KEYS:
+        layers[k] = quantize_weight_int4(layers[k])
+    out["layers"] = layers
+    out["lm_head"] = quantize_weight_int4(out["lm_head"])
+    return out
+
+
+def _dequantize_layers(qparams):
+    out = dict(qparams)
+    layers = dict(out["layers"])
+    for k, v in layers.items():
+        if isinstance(v, dict) and "w_p4" in v:
+            layers[k] = dequantize_weight_int4(v)
+    out["layers"] = layers
+    out["lm_head"] = dequantize_weight_int4(out["lm_head"])
+    return out
+
+
+class TestDecodeEquivalence:
+    def test_cached_decode_matches_dequantized_dense(self):
+        """Prefill + 3 decode steps: int4 stacked-kernel path vs the same
+        weights dequantized to a dense model. Hidden states must agree to
+        matmul-accumulation tolerance at every step."""
+        cfg = _int4_cfg()
+        params = llama.init(KEY, cfg, dtype=jnp.bfloat16)
+        qp = _quantize_layers(params)
+        dp = _dequantize_layers(qp)
+
+        from plangen_tpu.runtime.kvcache import init_kv_cache
+
+        B, P, S = 2, 8, 12
+        embeds = jax.random.normal(
+            jax.random.PRNGKey(5), (B, P, cfg.hidden_size), jnp.bfloat16
+        )
+        mask = jnp.ones((B, S), dtype=jnp.int32)
+
+        def run(p):
+            cache = init_kv_cache(cfg, B, S)
+            h, cache = llama.forward(
+                p, cfg, embeds, mask, positions=jnp.arange(P), kv_cache=cache
+            )
+            outs = [h[:, -1]]
+            x = h[:, -1:]
+            for i in range(3):
+                h, cache = llama.forward(
+                    p, cfg, x, mask,
+                    positions=jnp.arange(P + i, P + i + 1), kv_cache=cache,
+                )
+                outs.append(h[:, -1])
+                x = h[:, -1:]
+            return jnp.stack(outs)
+
+        hq = np.asarray(run(qp), np.float32)
+        hd = np.asarray(run(dp), np.float32)
+        np.testing.assert_allclose(hq, hd, rtol=5e-2, atol=5e-2)
+
+    def test_quantize_lm_params_int4_structure(self):
+        """vlm-level helper marks exactly the decode-dominant weights."""
+        pytest.importorskip("jax")
+        from plangen_tpu.config import PlanGenModelConfig
+        from plangen_tpu.models import vlm
+
+        cfg = PlanGenModelConfig()  # full 1B dims; eval_shape only (no memory)
+
+        def build(key):
+            return vlm.init(key, cfg, dtype=jnp.bfloat16)
+
+        shapes = jax.eval_shape(build, KEY)
+        # quantization is pure reshape/round math; run it abstractly too
+        qshapes = jax.eval_shape(quantize_lm_params_int4, shapes)
+        lay = qshapes["language_model"]["layers"]
+        assert set(lay["q_proj"]) == {"w_p4", "s_lo", "s_hi16"}
+        L, h = cfg.llama.num_layers, cfg.llama.hidden_size
+        assert lay["gate_proj"]["w_p4"].shape == (
+            L, h, cfg.llama.intermediate_size // 2
+        )
+        assert qshapes["language_model"]["lm_head"]["w_p4"].shape == (
+            h, cfg.llama.vocab_size // 2
+        )
+        assert qshapes["gen_head"]["fc2"]["w"]["w_p4"].dtype == jnp.int8
