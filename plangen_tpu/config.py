@@ -275,6 +275,9 @@ class TrainConfig:
     tune_token_when_lora: bool = True
     gradient_checkpointing: bool = False
     use_flash_attention: bool = False  # Pallas flash kernel in training forwards
+    fused_lm_ce: bool = False  # chunked lm_head CE: ~10x lower activation peak,
+    # one extra lm_head matmul in the backward (measured ~8% slower at the
+    # reference batch/seq — enable for longer-seq or larger-batch finetunes)
     use_local_edit_loss: bool = False  # restrict image CE to the edit region
     master_dtype: str = "float32"  # 'bfloat16' halves param memory (LoRA finetune)
     max_seq_len: int = 700

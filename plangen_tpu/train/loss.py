@@ -41,6 +41,64 @@ def shift_cross_entropy(
     return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
+def shift_cross_entropy_fused(
+    hidden: jax.Array,  # [B, S, H]
+    w_head: jax.Array,  # [H, V] lm_head weight
+    labels: jax.Array,  # [B, S] int
+    ignore_id: int | jax.Array,
+    chunk: int = 256,
+) -> jax.Array:
+    """shift_cross_entropy computed WITHOUT materializing [B, S, V] logits.
+
+    The 102400-way lm_head CE dominates training activation memory: at the
+    reference mmu batch (B=3, S~1280) the fp32 logits alone are ~1.6 GB, and
+    XLA writes+reads them around the log_softmax. Here the sequence is
+    processed in `chunk`-position blocks inside a rematerialized lax.scan —
+    logits live only at [B, chunk, V] (~300 MB), recomputed in the backward.
+    Identical math to lm_head + shift_cross_entropy (same per-position ops,
+    logits computed in the matmul dtype then upcast like llama.lm_head);
+    equality is tested in tests/test_train.py.
+    """
+    B, S, H = hidden.shape
+    h = hidden[:, :-1]
+    t = labels[:, 1:]
+    valid = (t != ignore_id).astype(jnp.float32)
+    n = S - 1
+    pad = (-n) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        t = jnp.pad(t, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    nc = (n + pad) // chunk
+    h = h.reshape(B, nc, chunk, H).transpose(1, 0, 2, 3)  # [nc, B, C, H]
+    t = t.reshape(B, nc, chunk).transpose(1, 0, 2)
+    valid = valid.reshape(B, nc, chunk).transpose(1, 0, 2)
+
+    def body(carry, xs):
+        s, c = carry
+        h_c, t_c, v_c = xs
+        logits = (h_c @ w_head).astype(jnp.float32)  # matches llama.lm_head
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tt = jnp.clip(t_c, 0, logits.shape[-1] - 1)
+        nll = -jnp.take_along_axis(logp, tt[..., None], axis=-1)[..., 0]
+        return (s + jnp.sum(nll * v_c), c + jnp.sum(v_c)), None
+
+    (s, c), _ = jax.lax.scan(
+        jax.checkpoint(body), (jnp.float32(0), jnp.float32(0)), (h, t, valid)
+    )
+    return s / jnp.maximum(c, 1.0)
+
+
+def _lm_shift_ce(params: Params, hidden, labels, pad_id, fused=False) -> jax.Array:
+    """lm_head CE; `fused=True` takes the chunked low-memory form (requires a
+    dense head — quantized serving params always use the materialized path)."""
+    w = params["language_model"]["lm_head"]
+    if not fused or isinstance(w, dict):
+        logits = llama.lm_head(params["language_model"], hidden)
+        return shift_cross_entropy(logits, labels, pad_id)
+    return shift_cross_entropy_fused(hidden, w, labels, pad_id)
+
+
 def _forward_full(
     params, cfg: PlanGenModelConfig, embeds, mask,
     remat: bool = False, use_flash: bool = False,
@@ -63,6 +121,7 @@ def t2i_loss(
     local_edit_region: jax.Array | None = None,  # [B, N] optional loss mask
     remat: bool = False,
     use_flash: bool = False,
+    fused_ce: bool = False,
 ) -> Dict[str, jax.Array]:
     """Image-generation loss (reference forward_t2i, plangen_base.py:909-972)."""
     B, L = input_ids.shape
@@ -96,16 +155,16 @@ def t2i_loss(
         return {"loss_t2i": loss_img}
 
     # text LM loss over the prompt positions
-    lm_logits = llama.lm_head(params["language_model"], hidden[:, :-n_img])
-    loss_lm = shift_cross_entropy(lm_logits, input_ids, pad_id)
+    loss_lm = _lm_shift_ce(params, hidden[:, :-n_img], input_ids, pad_id,
+                           fused=fused_ce)
     return {"loss_uni_t2i": loss_img, "loss_uni_lm": loss_lm}
 
 
 def uni_loss(params, cfg, input_ids, attn_mask, images, pad_id, remat=False,
-             use_flash=False):
+             use_flash=False, fused_ce=False):
     return t2i_loss(
         params, cfg, input_ids, attn_mask, images, pad_id, is_uni=True,
-        remat=remat, use_flash=use_flash,
+        remat=remat, use_flash=use_flash, fused_ce=fused_ce,
     )
 
 
@@ -119,6 +178,7 @@ def mmu_loss(
     pad_id: int,
     remat: bool = False,
     use_flash: bool = False,
+    fused_ce: bool = False,
 ) -> Dict[str, jax.Array]:
     """Understanding loss (reference forward_mmu, plangen_base.py:843-892):
     LM CE over the spliced sequence; image-placeholder ids -> pad (ignored)."""
@@ -127,9 +187,8 @@ def mmu_loss(
         use_flash=use_flash, remat=remat,
     )
     hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash)
-    logits = llama.lm_head(params["language_model"], hidden)
     labels = jnp.where(images_seq_mask, pad_id, input_ids)
-    return {"loss_mmu": shift_cross_entropy(logits, labels, pad_id)}
+    return {"loss_mmu": _lm_shift_ce(params, hidden, labels, pad_id, fused=fused_ce)}
 
 
 def plan_loss(
@@ -140,9 +199,10 @@ def plan_loss(
     pad_id: int,
     remat: bool = False,
     use_flash: bool = False,
+    fused_ce: bool = False,
 ) -> Dict[str, jax.Array]:
     """Planning loss (reference forward_plan -> forward_mmu(is_plan=True))."""
     embeds = vlm.embed_text(params, input_ids)
     hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash)
-    logits = llama.lm_head(params["language_model"], hidden)
-    return {"loss_plan_lm": shift_cross_entropy(logits, input_ids, pad_id)}
+    return {"loss_plan_lm": _lm_shift_ce(params, hidden, input_ids, pad_id,
+                                         fused=fused_ce)}

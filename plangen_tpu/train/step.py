@@ -68,6 +68,7 @@ def make_train_step(
     plan_lr_scale = train_cfg.plan_lr_scale
     remat = train_cfg.gradient_checkpointing
     use_flash = getattr(train_cfg, "use_flash_attention", False)
+    fused_ce = getattr(train_cfg, "fused_lm_ce", False)
     use_local_edit_loss = getattr(train_cfg, "use_local_edit_loss", False)
 
     def loss_fn(params, batches):
@@ -92,6 +93,7 @@ def make_train_step(
                     ),
                     remat=remat,
                     use_flash=use_flash,
+                    fused_ce=fused_ce,
                 )
             elif task == "mmu":
                 ld = mmu_loss(
@@ -104,6 +106,7 @@ def make_train_step(
                     pad_id,
                     remat=remat,
                     use_flash=use_flash,
+                    fused_ce=fused_ce,
                 )
             elif task == "plan":
                 ld = plan_loss(
@@ -114,6 +117,7 @@ def make_train_step(
                     pad_id,
                     remat=remat,
                     use_flash=use_flash,
+                    fused_ce=fused_ce,
                 )
             else:
                 raise ValueError(f"unknown task type {task!r}")

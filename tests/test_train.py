@@ -59,6 +59,45 @@ class TestLoss:
         loss = shift_cross_entropy(logits, labels, PAD)
         assert float(loss) < 1e-3
 
+    def test_fused_ce_matches_unfused(self):
+        """Chunked lm_head CE == materialized-logits CE, values and grads
+        (the fused form never builds [B, S, V]; tests/test_train.py is the
+        equality witness cited in its docstring)."""
+        from plangen_tpu.train.loss import shift_cross_entropy_fused
+
+        B, S, H, V = 2, 13, 16, 32  # S-1 not a chunk multiple -> padding path
+        key = jax.random.PRNGKey(0)
+        hidden = jax.random.normal(key, (B, S, H), jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(1), (H, V), jnp.bfloat16) * 0.3
+        labels = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0, V)
+        labels = labels.at[:, -3:].set(PAD)  # trailing pads ignored
+
+        def unfused(hidden, w):
+            logits = (hidden @ w).astype(jnp.float32)
+            return shift_cross_entropy(logits, labels, PAD)
+
+        def fused(hidden, w):
+            return shift_cross_entropy_fused(hidden, w, labels, PAD, chunk=4)
+
+        lu, lf = float(unfused(hidden, w)), float(fused(hidden, w))
+        np.testing.assert_allclose(lf, lu, rtol=1e-5)
+        gu = jax.grad(unfused, argnums=(0, 1))(hidden, w)
+        gf = jax.grad(fused, argnums=(0, 1))(hidden, w)
+        for a, b in zip(gu, gf):
+            # grads emerge in bf16 (hidden/w dtype): one-ulp rounding noise
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-2, atol=5e-4,
+            )
+
+    def test_fused_ce_all_pad(self):
+        from plangen_tpu.train.loss import shift_cross_entropy_fused
+
+        hidden = jnp.ones((1, 5, 8), jnp.bfloat16)
+        w = jnp.ones((8, 16), jnp.bfloat16)
+        labels = jnp.full((1, 5), PAD)
+        assert float(shift_cross_entropy_fused(hidden, w, labels, PAD)) == 0.0
+
 
 class TestMasking:
     def test_stage3_freezes_vq(self):

@@ -46,6 +46,7 @@ def main():
     master = os.environ.get("TRAIN_MASTER", "bfloat16")
     mode = os.environ.get("TRAIN_MODE", "stage3")
     use_flash = os.environ.get("TRAIN_FLASH", "0") == "1"
+    fused_ce = os.environ.get("TRAIN_FUSED_CE", "0") == "1"
 
     n_img = cfg.image_seq_len
     size = cfg.vision.image_size
@@ -65,6 +66,7 @@ def main():
     tcfg = TrainConfig(
         optim=OptimConfig(), gradient_checkpointing=remat, master_dtype=master,
         use_flash_attention=use_flash,
+        fused_lm_ce=fused_ce,
     )
     tx, _ = make_optimizer(tcfg.optim, params, mode)
     flows = ((0, "uni"), (1, "mmu"), (2, "plan"))
@@ -115,7 +117,7 @@ def main():
     sec = min(times)
     total_samples = uni_bs + mmu_bs + plan_bs
     print(
-        f"train step: {sec*1e3:.0f} ms  (remat={remat} master={master} flash={use_flash} "
+        f"train step: {sec*1e3:.0f} ms  (remat={remat} master={master} flash={use_flash} fused_ce={fused_ce} "
         f"mode={mode}; uni{uni_bs}+mmu{mmu_bs}+plan{plan_bs}, text_len={L})\n"
         f"throughput: {total_samples / sec:.2f} samples/s/chip, "
         f"{86400 / sec / 1000:.1f}k steps/day",
