@@ -71,18 +71,30 @@ def main() -> None:
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     fast = os.environ.get("BENCH_FAST") == "1"
 
-    cfg = PlanGenModelConfig()
+    # BENCH_MODEL=7b: Janus-Pro-7B dims — with int4 weights (~3.5 GB) the 7B
+    # family member serves on ONE 16 GB v5e (bf16 needs 14 GB for weights
+    # alone); pair with BENCH_INT4=1 and a small batch
+    if os.environ.get("BENCH_MODEL") == "7b":
+        cfg = PlanGenModelConfig.janus_pro_7b()
+    else:
+        cfg = PlanGenModelConfig()
     n_img = cfg.image_seq_len  # 576
     grid = cfg.vision.image_size // cfg.vq.downsample_factor  # 24
 
     key = jax.random.PRNGKey(0)
     # jit the init: one compiled program instead of per-op tunnel dispatches
-    params = jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16))(key)
     if os.environ.get("BENCH_INT4") == "1":
         from plangen_tpu.ops.quant import quantize_lm_params_int4
 
-        params = jax.jit(quantize_lm_params_int4)(params)
-    elif os.environ.get("BENCH_INT8") == "1":
+        # init+quantize in ONE program: XLA frees each dense weight once its
+        # int4 form exists, so 7B fits (separate programs would materialize
+        # the full 14.5 GB bf16 tree first)
+        params = jax.jit(
+            lambda k: quantize_lm_params_int4(vlm.init(k, cfg, dtype=jnp.bfloat16))
+        )(key)
+    else:
+        params = jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16))(key)
+    if os.environ.get("BENCH_INT8") == "1":
         from plangen_tpu.ops.quant import quantize_lm_params
 
         params = quantize_lm_params(params)
@@ -99,12 +111,16 @@ def main() -> None:
             params["gen_vision_model"], cfg.vq, tokens, (grid, grid)
         )
 
-    def make_decode_run(b, with_vq):
+    def make_embeds_mask(b):
         embeds = jax.random.normal(
             jax.random.PRNGKey(1), (2 * b, L, cfg.llama.hidden_size),
             dtype=jnp.bfloat16,
         )
         mask = jnp.ones((2 * b, L + n_img), dtype=jnp.int32)
+        return embeds, mask
+
+    def make_decode_run(b, with_vq):
+        embeds, mask = make_embeds_mask(b)
 
         def run(seed):
             out = generate_image_tokens(
@@ -163,6 +179,31 @@ def main() -> None:
             "metric": f"e2e image-tokens/s B={B} incl. VQ detokenize",
             "value": round(B * n_img / best_e2e, 2),
             "unit": "tokens/s",
+        })
+
+        # ---- 3b. sustained e2e: K batches submitted back-to-back ----------
+        # JAX async dispatch queues the next batch's decode while this
+        # batch's pixels stream to the host, so the host fetch cost
+        # amortizes away (tasks/eval.py pipelines the same way)
+        def run_e2e_async(seed):
+            out = generate_image_tokens(
+                params, cfg, *make_embeds_mask(B),
+                rng=jax.random.PRNGKey(seed),
+                cfg_weight=jnp.float32(5.0), temperature=jnp.float32(1.0),
+                num_tokens=n_img, quantized_cache=quantized_cache,
+                growing_cache=os.environ.get("BENCH_GROWING", "1") == "1",
+            )
+            return vq_decode(params, out.tokens, grid)
+
+        K = 3
+        t0 = time.perf_counter()
+        pix = [run_e2e_async(100 + k) for k in range(K)]  # no sync between
+        pix = [np.asarray(p) for p in pix]
+        dt = time.perf_counter() - t0
+        extra.append({
+            "metric": f"sustained e2e images/min B={B} ({K} pipelined batches)",
+            "value": round(K * B * 60.0 / dt, 2),
+            "unit": "images/min",
         })
 
         # ---- 4. MMU/plan layout decode tokens/s -----------------------------

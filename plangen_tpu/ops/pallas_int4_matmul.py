@@ -104,10 +104,14 @@ def _kernel(l_ref, x_ref, wp_ref, slo_ref, shi_ref, olo_ref, ohi_ref):
     ohi_ref[...] = ((y1 - y2) * shi_ref[0]).astype(ohi_ref.dtype)
 
 
-def _col_tile(oh: int) -> int:
+def _col_tile(oh: int, i: int) -> int:
+    # largest tile dividing OH whose double-buffered weight block fits VMEM
+    # comfortably (I x top int8 <= 4 MB; 7B's down_proj has I=11008)
     for t in (1024, 512, 256, 128):
-        if oh % t == 0:
+        if oh % t == 0 and i * t <= 4 * 1024 * 1024:
             return t
+    if oh % 128 == 0:
+        return 128
     raise ValueError(f"packed out dim {oh} not a multiple of 128")
 
 
@@ -121,9 +125,8 @@ def _int4_matmul_2d(x, wp, s_lo, s_hi16, layer, interpret=False):
     """
     R, I = x.shape
     OH = s_lo.shape[-1]
-    top = _col_tile(OH)
-    tr = R if R <= 512 else 256
-    tr = max(tr, 1)
+    top = _col_tile(OH, I)
+    tr = min(R, 256)
     rp = -(-R // tr) * tr
     if rp != R:
         x = jnp.pad(x, ((0, rp - R), (0, 0)))
@@ -182,10 +185,12 @@ def int4_matmul(
         layer = jnp.int32(0)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if x2.shape[0] > 1024:
-        # prefill / full-seq rows: compute-bound, and the kernel's [R, OH]
-        # output staging would blow scoped VMEM. Dequantize the layer's
-        # weights once (one-time traffic per prefill) and use a dense matmul.
+    if x2.shape[0] > 256:
+        # prefill / full-seq rows: compute-bound, and XLA stages the kernel's
+        # [R, OH] outputs in scoped VMEM (16 MB), which overflows at prefill
+        # row counts. Dequantize the layer's weights once (one-time traffic
+        # per prefill) and use a dense matmul. 256 rows covers every decode
+        # shape (B<=128 CFG rows) and fast_edit's 16-token chunks.
         qq = jax.tree_util.tree_map(
             lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False),
             {"w_p4": wp, "s_lo": s_lo, "s_hi16": s_hi16},

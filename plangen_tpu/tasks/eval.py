@@ -90,12 +90,27 @@ def run_validation(
     n_batches = min(max_len, -(-len(ds) // batch_size)) if max_len != -1 else -(
         -len(ds) // batch_size
     )
-    for b in range(start, n_batches):
+    # one-batch-ahead pipelining: batch b+1's host preprocessing + device
+    # dispatch run on a worker thread while batch b's artifacts (host fetch,
+    # PNG encode, disk writes) save on this thread — the device never idles
+    # on host post-processing. Device programs stay serial (one queue).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fetch(b):
         samples = [ds[b * batch_size + i] for i in range(batch_size)
                    if b * batch_size + i < len(ds)]
         if not samples:
+            return None
+        return samples, _run_batch(pipe, cfg, task_type, samples)
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending = pool.submit(fetch, start) if start < n_batches else None
+    for b in range(start, n_batches):
+        got = pending.result() if pending is not None else None
+        pending = pool.submit(fetch, b + 1) if b + 1 < n_batches else None
+        if got is None:
             break
-        out = _run_batch(pipe, cfg, task_type, samples)
+        samples, out = got
         _save_batch_artifacts(
             out, samples, task_type, path, batch_path, b, batch_size
         )
@@ -108,6 +123,7 @@ def run_validation(
                 pr_b, _ = parse_grounding(pr or "")
                 per_sample_metrics.append(layout_metrics(pr_b, gt_b))
         results.append(out)
+    pool.shutdown(wait=True)
 
     if per_sample_metrics:
         from plangen_tpu.tasks.metrics import aggregate_layout_metrics
