@@ -73,7 +73,8 @@ def main() -> None:
 
     # BENCH_MODEL=7b: Janus-Pro-7B dims — with int4 weights (~3.5 GB) the 7B
     # family member serves on ONE 16 GB v5e (bf16 needs 14 GB for weights
-    # alone); pair with BENCH_INT4=1 and a small batch
+    # alone); pair with BENCH_INT4=1 BENCH_INT8_KV=1 (all recorded 7B
+    # numbers use both) and a small batch
     if os.environ.get("BENCH_MODEL") == "7b":
         cfg = PlanGenModelConfig.janus_pro_7b()
     else:
@@ -82,6 +83,8 @@ def main() -> None:
     grid = cfg.vision.image_size // cfg.vq.downsample_factor  # 24
 
     key = jax.random.PRNGKey(0)
+    if os.environ.get("BENCH_INT4") == "1" and os.environ.get("BENCH_INT8") == "1":
+        sys.exit("bench: BENCH_INT4 and BENCH_INT8 are mutually exclusive")
     # jit the init: one compiled program instead of per-op tunnel dispatches
     if os.environ.get("BENCH_INT4") == "1":
         from plangen_tpu.ops.quant import quantize_lm_params_int4
@@ -92,12 +95,14 @@ def main() -> None:
         params = jax.jit(
             lambda k: quantize_lm_params_int4(vlm.init(k, cfg, dtype=jnp.bfloat16))
         )(key)
-    else:
-        params = jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16))(key)
-    if os.environ.get("BENCH_INT8") == "1":
+    elif os.environ.get("BENCH_INT8") == "1":
         from plangen_tpu.ops.quant import quantize_lm_params
 
-        params = quantize_lm_params(params)
+        params = jax.jit(
+            lambda k: quantize_lm_params(vlm.init(k, cfg, dtype=jnp.bfloat16))
+        )(key)
+    else:
+        params = jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16))(key)
     quantized_cache = os.environ.get("BENCH_INT8_KV") == "1"
 
     from functools import partial
@@ -119,7 +124,7 @@ def main() -> None:
         mask = jnp.ones((2 * b, L + n_img), dtype=jnp.int32)
         return embeds, mask
 
-    def make_decode_run(b, with_vq):
+    def make_decode_run(b, with_vq, sync=True):
         embeds, mask = make_embeds_mask(b)
 
         def run(seed):
@@ -134,11 +139,12 @@ def main() -> None:
                 # BENCH_GROWING=0 reverts to the fixed-buffer program
                 growing_cache=os.environ.get("BENCH_GROWING", "1") == "1",
             )
-            if with_vq:
-                # np.asarray forces device->host: on the experimental axon
-                # platform block_until_ready() returns before execution ends
-                return np.asarray(vq_decode(params, out.tokens, grid))
-            return np.asarray(out.tokens)
+            dev = vq_decode(params, out.tokens, grid) if with_vq else out.tokens
+            if not sync:
+                return dev  # device array: caller pipelines the host fetch
+            # np.asarray forces device->host: on the experimental axon
+            # platform block_until_ready() returns before execution ends
+            return np.asarray(dev)
 
         return run
 
@@ -185,16 +191,7 @@ def main() -> None:
         # JAX async dispatch queues the next batch's decode while this
         # batch's pixels stream to the host, so the host fetch cost
         # amortizes away (tasks/eval.py pipelines the same way)
-        def run_e2e_async(seed):
-            out = generate_image_tokens(
-                params, cfg, *make_embeds_mask(B),
-                rng=jax.random.PRNGKey(seed),
-                cfg_weight=jnp.float32(5.0), temperature=jnp.float32(1.0),
-                num_tokens=n_img, quantized_cache=quantized_cache,
-                growing_cache=os.environ.get("BENCH_GROWING", "1") == "1",
-            )
-            return vq_decode(params, out.tokens, grid)
-
+        run_e2e_async = make_decode_run(B, with_vq=True, sync=False)
         K = 3
         t0 = time.perf_counter()
         pix = [run_e2e_async(100 + k) for k in range(K)]  # no sync between

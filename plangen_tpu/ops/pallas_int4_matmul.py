@@ -119,48 +119,46 @@ def _col_tile(oh: int, i: int) -> int:
 def _int4_matmul_2d(x, wp, s_lo, s_hi16, layer, interpret=False):
     """x [R, I] @ packed int4 [Lw, I, OH*2-col weight] at layer index `layer`.
 
-    Row-tiles x when R is large (prefill); weight blocks are indexed directly
-    out of the STACKED array via scalar prefetch, so the per-layer weight
-    slice never materializes in HBM (a sliced operand would copy).
+    R <= 256 (the int4_matmul dispatcher routes larger row counts to the
+    dense path), so x and both output blocks stay resident. Weight blocks
+    are indexed directly out of the STACKED array via scalar prefetch, so
+    the per-layer weight slice never materializes in HBM (a sliced operand
+    would copy).
     """
     R, I = x.shape
+    assert R <= 256, f"decode kernel expects <=256 rows, got {R}"
     OH = s_lo.shape[-1]
     top = _col_tile(OH, I)
-    tr = min(R, 256)
-    rp = -(-R // tr) * tr
-    if rp != R:
-        x = jnp.pad(x, ((0, rp - R), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(rp // tr, OH // top),
+        grid=(OH // top,),
         in_specs=[
-            pl.BlockSpec((tr, I), lambda r, j, l: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, I), lambda j, l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, I, top), lambda r, j, l: (l[0], 0, j), memory_space=pltpu.VMEM
+                (1, I, top), lambda j, l: (l[0], 0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, top), lambda r, j, l: (l[0], 0, j), memory_space=pltpu.VMEM
+                (1, 1, top), lambda j, l: (l[0], 0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, top), lambda r, j, l: (l[0], 0, j), memory_space=pltpu.VMEM
+                (1, 1, top), lambda j, l: (l[0], 0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
-            pl.BlockSpec((tr, top), lambda r, j, l: (r, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, top), lambda r, j, l: (r, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, top), lambda j, l: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, top), lambda j, l: (0, j), memory_space=pltpu.VMEM),
         ],
     )
     o_lo, o_hi = pl.pallas_call(
         _kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((rp, OH), x.dtype),
-            jax.ShapeDtypeStruct((rp, OH), x.dtype),
+            jax.ShapeDtypeStruct((R, OH), x.dtype),
+            jax.ShapeDtypeStruct((R, OH), x.dtype),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
     )(jnp.reshape(layer, (1,)).astype(jnp.int32), x, wp, s_lo, s_hi16)
-    out = jnp.concatenate([o_lo, o_hi], axis=-1)
-    return out[:R] if rp != R else out
+    return jnp.concatenate([o_lo, o_hi], axis=-1)
 
 
 def int4_matmul(

@@ -60,7 +60,10 @@ def build_pipeline(cfg: PlanGenConfig, params=None) -> PlanGenPipeline:
     elif cfg.generation.quantize == "int4":
         from plangen_tpu.ops.quant import quantize_lm_params_int4
 
-        params = jax.jit(quantize_lm_params_int4)(params)
+        # donate: the dense bf16 tree frees as the int4 copies are built —
+        # required for 7B, where dense weights (14.5 GB) + int4 copies would
+        # otherwise exceed one v5e's HBM
+        params = jax.jit(quantize_lm_params_int4, donate_argnums=0)(params)
     return PlanGenPipeline(params, cfg.model, proc, gen_cfg=cfg.generation)
 
 
@@ -104,26 +107,29 @@ def run_validation(
         return samples, _run_batch(pipe, cfg, task_type, samples)
 
     pool = ThreadPoolExecutor(max_workers=1)
-    pending = pool.submit(fetch, start) if start < n_batches else None
-    for b in range(start, n_batches):
-        got = pending.result() if pending is not None else None
-        pending = pool.submit(fetch, b + 1) if b + 1 < n_batches else None
-        if got is None:
-            break
-        samples, out = got
-        _save_batch_artifacts(
-            out, samples, task_type, path, batch_path, b, batch_size
-        )
-        if task_type in ("plan", "mmu"):
-            # layout metrics: predicted grounding vs GT grounding
-            from plangen_tpu.tasks.metrics import layout_metrics
+    try:
+        pending = pool.submit(fetch, start) if start < n_batches else None
+        for b in range(start, n_batches):
+            got = pending.result() if pending is not None else None
+            pending = pool.submit(fetch, b + 1) if b + 1 < n_batches else None
+            if got is None:
+                break
+            samples, out = got
+            _save_batch_artifacts(
+                out, samples, task_type, path, batch_path, b, batch_size
+            )
+            if task_type in ("plan", "mmu"):
+                # layout metrics: predicted grounding vs GT grounding
+                from plangen_tpu.tasks.metrics import layout_metrics
 
-            for s, pr in zip(samples, out["pr_grounding"]):
-                gt_b, _ = parse_grounding(s.gt_grounding)
-                pr_b, _ = parse_grounding(pr or "")
-                per_sample_metrics.append(layout_metrics(pr_b, gt_b))
-        results.append(out)
-    pool.shutdown(wait=True)
+                for s, pr in zip(samples, out["pr_grounding"]):
+                    gt_b, _ = parse_grounding(s.gt_grounding)
+                    pr_b, _ = parse_grounding(pr or "")
+                    per_sample_metrics.append(layout_metrics(pr_b, gt_b))
+            results.append(out)
+    finally:
+        # an artifact-save error must still observe/stop the in-flight fetch
+        pool.shutdown(wait=True)
 
     if per_sample_metrics:
         from plangen_tpu.tasks.metrics import aggregate_layout_metrics

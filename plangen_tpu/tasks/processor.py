@@ -163,9 +163,14 @@ class PlanGenProcessor:
         """
         B = uni_ids.shape[0]
         text_mask = uni_mask[:, : uni_ids.shape[1]]
-        if neg_captions is None:
+        if neg_captions is None and neg_groundings is None:
             neg_rows = [self.uni_ids(self.gen.neg_prompt, "")] * B
         else:
+            # per-sample negatives (use_neg_box removal): a grounding without
+            # captions rides the default neg prompt, matching the reference's
+            # negative row construction (plangen_base.py:653-670)
+            if neg_captions is None:
+                neg_captions = [self.gen.neg_prompt] * B
             if neg_groundings is None:
                 neg_groundings = [""] * B
             neg_rows = [

@@ -81,21 +81,23 @@ class TestKernel:
                 rtol=2e-2, atol=2e-2,
             )
 
-    def test_row_tiling_and_padding(self):
-        # R=700 forces multi-row-tile grid with pad; batch+seq dims collapse
+    def test_kernel_row_boundary(self):
+        # R=256 = the kernel/dense dispatch boundary (kernel side); leading
+        # batch+seq dims collapse into rows
         q = quantize_weight_int4(_rand_w(KEY, I, O))
-        x = jax.random.normal(jax.random.PRNGKey(2), (7, 100, I), jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 128, I), jnp.bfloat16)
         out = int4_matmul(x, q, interpret=True)
-        assert out.shape == (7, 100, O)
-        ref = int4_matmul_reference(x.reshape(-1, I), q).reshape(7, 100, O)
+        assert out.shape == (2, 128, O)
+        ref = int4_matmul_reference(x.reshape(-1, I), q).reshape(2, 128, O)
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2,
         )
 
     def test_large_rows_dense_fallback(self):
-        # R > 1024 takes the dequant+dense prefill path (the decode kernel's
-        # [R, OH] VMEM output staging would exceed scoped VMEM at prefill)
+        # R > 256 takes the dequant+dense prefill path (XLA stages the
+        # kernel's [R, OH] outputs in scoped VMEM, which overflows at
+        # prefill row counts)
         q = quantize_weight_int4(_rand_w(KEY, 2, I, O))
         x = jax.random.normal(jax.random.PRNGKey(4), (2048, I), jnp.bfloat16)
         out = int4_matmul(x, q, layer=jnp.int32(1), interpret=True)

@@ -215,3 +215,25 @@ class TestConfig:
         tiny = PlanGenModelConfig.tiny()
         assert tiny.image_seq_len == 4
         assert tiny.llama.hidden_size == 64
+
+
+class TestCfgNegGroundings:
+    def test_neg_groundings_without_captions_ride_neg_prompt(self):
+        """Removal-mode negatives: a per-sample neg grounding WITHOUT
+        explicit neg captions must still reach the negative row (on the
+        default neg prompt) — silently dropping it reverts removal to a
+        plain empty-target edit (reference plangen_base.py:653-670)."""
+        from plangen_tpu.config import GenerationConfig
+        from plangen_tpu.tasks.processor import PlanGenProcessor
+        from plangen_tpu.text.tokenizer import load_tokenizer
+
+        tok = load_tokenizer(None, vocab_size=512)
+        gen = GenerationConfig()
+        proc = PlanGenProcessor(tok, image_tokens=4, max_seq_len=64, gen=gen)
+        ids, mask = proc.uni_batch(["a room"], [""])
+        neg_g = "<grounding><ref>clutter</ref><box>[100,100,500,500]</box></grounding>"
+        with_g, _ = proc.cfg_batch(ids, mask, None, [neg_g])
+        without_g, _ = proc.cfg_batch(ids, mask, None, None)
+        # rows interleave cond/neg: the neg rows (odd) must differ
+        assert with_g.shape[0] == 2 and without_g.shape[0] == 2
+        assert not (with_g[1].tolist() == without_g[1].tolist())
