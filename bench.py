@@ -83,17 +83,20 @@ def main() -> None:
     grid = cfg.vision.image_size // cfg.vq.downsample_factor  # 24
 
     key = jax.random.PRNGKey(0)
-    if os.environ.get("BENCH_INT4") == "1" and os.environ.get("BENCH_INT8") == "1":
+    if (os.environ.get("BENCH_INT4") == "1" or os.environ.get("BENCH_INT4_A8") == "1") and os.environ.get("BENCH_INT8") == "1":
         sys.exit("bench: BENCH_INT4 and BENCH_INT8 are mutually exclusive")
     # jit the init: one compiled program instead of per-op tunnel dispatches
-    if os.environ.get("BENCH_INT4") == "1":
+    if os.environ.get("BENCH_INT4") == "1" or os.environ.get("BENCH_INT4_A8") == "1":
         from plangen_tpu.ops.quant import quantize_lm_params_int4
 
+        a8 = os.environ.get("BENCH_INT4_A8") == "1"
         # init+quantize in ONE program: XLA frees each dense weight once its
         # int4 form exists, so 7B fits (separate programs would materialize
         # the full 14.5 GB bf16 tree first)
         params = jax.jit(
-            lambda k: quantize_lm_params_int4(vlm.init(k, cfg, dtype=jnp.bfloat16))
+            lambda k: quantize_lm_params_int4(
+                vlm.init(k, cfg, dtype=jnp.bfloat16), act_int8=a8
+            )
         )(key)
     elif os.environ.get("BENCH_INT8") == "1":
         from plangen_tpu.ops.quant import quantize_lm_params

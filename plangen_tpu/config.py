@@ -224,7 +224,8 @@ class GenerationConfig:
     use_neg_box: bool = False
     pad_edit_box: float = 0.0
     quantize: Optional[str] = None  # 'int8' = int8 weights + int8 KV cache;
-    # 'int4' = packed-int4 weights (Pallas kernel) + int8 KV cache
+    # 'int4' = packed-int4 weights (Pallas kernel) + int8 KV cache;
+    # 'int4_a8' = int4 weights + int8 activations (s8 MXU dots) + int8 KV
     fast_edit: bool = False  # prefill frozen runs during teacher-forced editing
     # segmented growing KV cache: ~23% faster decode at B=32, token streams
     # matched the fixed buffer in every test and on-chip run

@@ -76,15 +76,23 @@ def quantize_lm_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return _quantize_lm(params, quantize_weight)
 
 
-def quantize_lm_params_int4(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_lm_params_int4(
+    params: Dict[str, Any], act_int8: bool = False
+) -> Dict[str, Any]:
     """int4 variant of quantize_lm_params (Pallas kernel serving path).
 
     Halves decode weight traffic again vs int8. Opt-in like int8; per-output-
     channel scales (the int8 scheme's granularity — coarser than group-wise
-    int4, acceptable for the serving path and trivially upgradable)."""
+    int4, acceptable for the serving path and trivially upgradable).
+    `act_int8=True` selects the W4A8 decode kernel (int8 activations +
+    s8 x s8 MXU dots, ~10% faster at the layer level; prefill unchanged)."""
+    import functools
+
     from plangen_tpu.ops.pallas_int4_matmul import quantize_weight_int4
 
-    return _quantize_lm(params, quantize_weight_int4)
+    return _quantize_lm(
+        params, functools.partial(quantize_weight_int4, act_int8=act_int8)
+    )
 
 
 def _quantize_lm(params: Dict[str, Any], qfn) -> Dict[str, Any]:

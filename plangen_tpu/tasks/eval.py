@@ -57,13 +57,19 @@ def build_pipeline(cfg: PlanGenConfig, params=None) -> PlanGenPipeline:
         from plangen_tpu.ops.quant import quantize_lm_params
 
         params = quantize_lm_params(params)
-    elif cfg.generation.quantize == "int4":
+    elif cfg.generation.quantize in ("int4", "int4_a8"):
+        import functools
+
         from plangen_tpu.ops.quant import quantize_lm_params_int4
 
         # donate: the dense bf16 tree frees as the int4 copies are built —
         # required for 7B, where dense weights (14.5 GB) + int4 copies would
         # otherwise exceed one v5e's HBM
-        params = jax.jit(quantize_lm_params_int4, donate_argnums=0)(params)
+        qfn = functools.partial(
+            quantize_lm_params_int4,
+            act_int8=(cfg.generation.quantize == "int4_a8"),
+        )
+        params = jax.jit(qfn, donate_argnums=0)(params)
     return PlanGenPipeline(params, cfg.model, proc, gen_cfg=cfg.generation)
 
 

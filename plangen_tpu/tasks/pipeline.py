@@ -231,7 +231,7 @@ class PlanGenPipeline:
                 regen_mask=regen,
                 num_tokens=n_img,
                 schedule=schedule,
-                quantized_cache=(self.gen.quantize in ("int8", "int4")),
+                quantized_cache=(self.gen.quantize in ("int8", "int4", "int4_a8")),
             )
             return GenerationOutput(
                 images=self._detokenize(result.tokens),
@@ -269,7 +269,7 @@ class PlanGenPipeline:
                 rng=rng,
                 cfg_weight=jnp.float32(self.gen.cfg_weight),
                 temperature=jnp.float32(self.gen.temperature),
-                quantized_cache=(self.gen.quantize in ("int8", "int4")),
+                quantized_cache=(self.gen.quantize in ("int8", "int4", "int4_a8")),
                 growing_cache=self.gen.growing_cache,
                 gt_tokens=gt_tokens,
                 regen_mask=regen,

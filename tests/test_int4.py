@@ -262,3 +262,65 @@ class TestDecodeEquivalence:
             h, cfg.llama.vocab_size // 2
         )
         assert qshapes["gen_head"]["fc2"]["w"]["w_p4"].dtype == jnp.int8
+
+
+class TestW4A8:
+    def test_kernel_matches_integer_reference(self):
+        from plangen_tpu.ops.pallas_int4_matmul import (
+            int4_matmul_a8_reference,
+        )
+
+        q = quantize_weight_int4(_rand_w(KEY, 3, I, O), act_int8=True)
+        x = jax.random.normal(jax.random.PRNGKey(6), (4, I), jnp.bfloat16)
+        for l in (0, 2):
+            out = int4_matmul(x, q, layer=jnp.int32(l), interpret=True)
+            ref = int4_matmul_a8_reference(x, q, layer=l)
+            # identical integer math; only the final fp32 scale-multiply
+            # association can differ
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                rtol=1e-2, atol=1e-3,
+            )
+
+    def test_marker_dispatch(self):
+        qa = quantize_weight_int4(_rand_w(KEY, I, O), act_int8=True)
+        qw = {k: v for k, v in qa.items() if k != "a8"}
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, I), jnp.bfloat16)
+        out_a8 = int4_matmul(x, qa, interpret=True)
+        out_w16 = int4_matmul(x, qw, interpret=True)
+        # both approximate the same dequantized matmul...
+        ref = int4_matmul_reference(x, qw)
+        np.testing.assert_allclose(
+            np.asarray(out_a8, np.float32), np.asarray(ref, np.float32),
+            rtol=5e-2, atol=5e-2,
+        )
+        # ...but through different arithmetic (activation quant changes bits)
+        assert not np.array_equal(np.asarray(out_a8), np.asarray(out_w16))
+
+    def test_decode_through_llama(self):
+        from plangen_tpu.ops.quant import _LM_QUANT_KEYS
+        from plangen_tpu.runtime.kvcache import init_kv_cache
+
+        cfg = _int4_cfg()
+        params = llama.init(KEY, cfg, dtype=jnp.bfloat16)
+        out = dict(params)
+        layers = dict(out["layers"])
+        for k in _LM_QUANT_KEYS:
+            layers[k] = quantize_weight_int4(layers[k], act_int8=True)
+        out["layers"] = layers
+        out["lm_head"] = quantize_weight_int4(out["lm_head"], act_int8=True)
+
+        B, P, S = 2, 4, 6
+        embeds = jax.random.normal(
+            jax.random.PRNGKey(8), (B, P, cfg.hidden_size), jnp.bfloat16
+        )
+        mask = jnp.ones((B, S), dtype=jnp.int32)
+        cache = init_kv_cache(cfg, B, S)
+        h, cache = llama.forward(
+            out, cfg, embeds, mask, positions=jnp.arange(P), kv_cache=cache
+        )
+        h2, _ = llama.forward(
+            out, cfg, h[:, -1:], mask,
+            positions=jnp.arange(P, P + 1), kv_cache=cache,
+        )
+        assert np.isfinite(np.asarray(h2, np.float32)).all()
