@@ -187,15 +187,76 @@ class HFTokenizerAdapter:
         return self._tok.decode(list(ids), skip_special_tokens=skip_special_tokens)
 
 
+class NativeBPEAdapter:
+    """Janus tokenizer via the native C++ BPE engine (no transformers/Rust).
+
+    Parses the checkpoint's tokenizer.json directly and replicates PlanGen's
+    token additions in the reference's order (plangen_base.py:110-127), so
+    ids match HFTokenizerAdapter exactly (tested in tests/test_native_bpe.py).
+    """
+
+    def __init__(self, path: str, use_special_tokens: bool = True,
+                 use_numhw: bool = False):
+        from plangen_tpu.text.bpe_native import NativeBPE
+
+        tok = NativeBPE(os.path.join(path, "tokenizer.json"))
+        known = lambda t: t in tok.added or t in tok.vocab
+        if not known(IMAGE_TAG):
+            tok.add_tokens([IMAGE_TAG])  # processing_vlm.py:99-105
+        if use_special_tokens:
+            tok.add_tokens(list(GROUNDING_TOKENS))
+        if use_numhw:
+            tok.add_tokens(numhw_tokens())
+        self._tok = tok
+        self.vocab_size = tok.total_size
+        ids = {**tok.vocab, **tok.added}
+        self.special = SpecialTokens(
+            bos_id=ids[BOS_TEXT],
+            eos_id=ids[EOS_TEXT],
+            pad_id=ids[PAD_TEXT],
+            image_tag_id=ids[IMAGE_TAG],
+            image_start_id=ids[IMAGE_START_TAG],
+            image_end_id=ids[IMAGE_END_TAG],
+            grounding_ids={t: ids[t] for t in GROUNDING_TOKENS if t in ids},
+        )
+
+    def token_id(self, token: str) -> int:
+        return {**self._tok.vocab, **self._tok.added}[token]
+
+    def encode(self, text: str, add_bos: bool = True) -> List[int]:
+        ids = self._tok.encode(text)
+        if add_bos:
+            ids = [self.special.bos_id] + ids
+        return ids
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = False) -> str:
+        return self._tok.decode(ids, skip_special=skip_special_tokens)
+
+
 def load_tokenizer(
     janus_path: Optional[str] = None,
     vocab_size: int = 102400,
     use_special_tokens: bool = True,
     use_numhw: bool = False,
 ) -> Tokenizer:
-    """Return the HF tokenizer when a local Janus path exists, else the byte fallback."""
+    """Return the Janus tokenizer when a local path exists (HF adapter, or
+    the native C++ BPE engine when transformers is unavailable), else the
+    byte fallback."""
     if janus_path and os.path.isdir(janus_path):
-        return HFTokenizerAdapter(
-            janus_path, use_special_tokens=use_special_tokens, use_numhw=use_numhw
-        )
+        try:
+            return HFTokenizerAdapter(
+                janus_path, use_special_tokens=use_special_tokens,
+                use_numhw=use_numhw,
+            )
+        except ImportError:
+            from plangen_tpu.text.bpe_native import native_bpe_available
+
+            if native_bpe_available() and os.path.exists(
+                os.path.join(janus_path, "tokenizer.json")
+            ):
+                return NativeBPEAdapter(
+                    janus_path, use_special_tokens=use_special_tokens,
+                    use_numhw=use_numhw,
+                )
+            raise
     return ByteFallbackTokenizer(vocab_size=vocab_size, use_numhw=use_numhw)
