@@ -324,3 +324,57 @@ class TestW4A8:
             positions=jnp.arange(P, P + 1), kv_cache=cache,
         )
         assert np.isfinite(np.asarray(h2, np.float32)).all()
+
+
+class TestInt4UnderMesh:
+    def test_dp_mesh_forward(self):
+        """int4 kernel under a data-parallel mesh: replicated packed weights,
+        batch sharded over 'data' — XLA partitions the pallas_call per shard
+        (the DP serving deployment shape)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from plangen_tpu.ops.quant import _LM_QUANT_KEYS
+        from plangen_tpu.runtime.kvcache import init_kv_cache
+
+        cfg = _int4_cfg()
+        params = llama.init(KEY, cfg, dtype=jnp.bfloat16)
+        layers = dict(params["layers"])
+        for k in _LM_QUANT_KEYS:
+            layers[k] = quantize_weight_int4(layers[k])
+        params = {
+            **params,
+            "layers": layers,
+            "lm_head": quantize_weight_int4(params["lm_head"]),
+        }
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+        B, Pq, S = 8, 4, 8
+        embeds = jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(1), (B, Pq, cfg.hidden_size),
+                              jnp.bfloat16),
+            NamedSharding(mesh, P("data")),
+        )
+        mask = jax.device_put(
+            jnp.ones((B, S), jnp.int32), NamedSharding(mesh, P("data"))
+        )
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+
+        @jax.jit
+        def step(p, e, m):
+            cache = init_kv_cache(cfg, B, S)
+            h, _ = llama.forward(
+                p, cfg, e, m, positions=jnp.arange(Pq), kv_cache=cache
+            )
+            return h
+
+        h = np.asarray(step(params, embeds, mask), np.float32)
+        assert h.shape == (B, Pq, cfg.hidden_size) and np.isfinite(h).all()
+        # matches the unsharded run
+        h1 = np.asarray(
+            step(
+                jax.device_put(params, NamedSharding(mesh, P())),
+                jax.device_put(embeds, NamedSharding(mesh, P())),
+                jax.device_put(mask, NamedSharding(mesh, P())),
+            ),
+            np.float32,
+        )
+        np.testing.assert_allclose(h, h1, rtol=2e-2, atol=2e-2)
