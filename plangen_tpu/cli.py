@@ -80,7 +80,9 @@ def cmd_serve(args) -> None:
 
 def cmd_convert(args) -> None:
     """Convert a local Janus-Pro torch checkpoint (+ optional PlanGen
-    finetune overlay) into an orbax params artifact."""
+    finetune overlay) into an orbax params artifact; --quantize writes a
+    directly-servable quantized tree (int4 is ~4.5x smaller on disk and
+    skips quantization at load time)."""
     import jax
     import orbax.checkpoint as ocp
 
@@ -92,6 +94,18 @@ def cmd_convert(args) -> None:
         args.janus_path, cfg, finetune_path=args.finetune
     )
     params = jax.tree_util.tree_map(jax.numpy.asarray, params)
+    if args.quantize:
+        from plangen_tpu.ops.quant import (
+            quantize_lm_params,
+            quantize_lm_params_int4,
+        )
+
+        if args.quantize == "int8":
+            params = quantize_lm_params(params)
+        else:
+            params = quantize_lm_params_int4(
+                params, act_int8=(args.quantize == "int4_a8")
+            )
     ckptr = ocp.StandardCheckpointer()
     import os
 
@@ -136,6 +150,9 @@ def main(argv=None) -> None:
     pc.add_argument("--finetune", default=None,
                     help="trainable_model_parameters.pth overlay")
     pc.add_argument("--out", default="converted_params")
+    pc.add_argument("--quantize", default=None,
+                    choices=["int8", "int4", "int4_a8"],
+                    help="write a quantized serving artifact")
     pc.set_defaults(fn=cmd_convert)
 
     args = p.parse_args(argv)

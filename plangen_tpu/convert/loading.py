@@ -47,12 +47,20 @@ def load_params(cfg: PlanGenConfig, dtype=None) -> Optional[Any]:
 
         ckptr = ocp.StandardCheckpointer()
         params = ckptr.restore(os.path.abspath(params_path))
-        return jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x).astype(dtype)
-            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
-            else jnp.asarray(x),
-            params,
-        )
+
+        # quantization scales must STAY fp32 (int8 "scale", int4 "s_lo"/
+        # "s_hi16"): the compute folds them in at full precision, and a
+        # bf16 downcast would silently degrade every dequantized weight
+        _KEEP_F32 = {"scale", "s_lo", "s_hi16", "k_scale", "v_scale"}
+
+        def cast(path, x):
+            x = jnp.asarray(x)
+            name = path[-1].key if path else ""
+            if name in _KEEP_F32 or not jnp.issubdtype(x.dtype, jnp.floating):
+                return x
+            return x.astype(dtype)
+
+        return jax.tree_util.tree_map_with_path(cast, params)
 
     if _has_weight_files(cfg.janus_path):
         from plangen_tpu.convert.torch_to_jax import load_janus_checkpoint

@@ -53,11 +53,35 @@ def build_pipeline(cfg: PlanGenConfig, params=None) -> PlanGenPipeline:
         params = vlm.init(
             jax.random.PRNGKey(cfg.generation.seed), cfg.model, dtype=jnp.bfloat16
         )
-    if cfg.generation.quantize == "int8":
+    params = _apply_quantize(params, cfg.generation.quantize)
+    return PlanGenPipeline(params, cfg.model, proc, gen_cfg=cfg.generation)
+
+
+def _artifact_quant_form(params) -> str | None:
+    """'int8'/'int4'/'int4_a8' if the tree is already quantized, else None
+    (pre-quantized artifacts from `cli convert --quantize`)."""
+    q = params["language_model"]["layers"]["q_proj"]
+    if not isinstance(q, dict):
+        return None
+    if "w_q8" in q:
+        return "int8"
+    return "int4_a8" if "a8" in q else "int4"
+
+
+def _apply_quantize(params, mode):
+    have = _artifact_quant_form(params)
+    if have is not None:
+        if mode not in (None, have):
+            raise ValueError(
+                f"params are already {have}-quantized but generation.quantize="
+                f"{mode!r} — reconvert the artifact or change the config"
+            )
+        return params
+    if mode == "int8":
         from plangen_tpu.ops.quant import quantize_lm_params
 
-        params = quantize_lm_params(params)
-    elif cfg.generation.quantize in ("int4", "int4_a8"):
+        return quantize_lm_params(params)
+    if mode in ("int4", "int4_a8"):
         import functools
 
         from plangen_tpu.ops.quant import quantize_lm_params_int4
@@ -66,11 +90,10 @@ def build_pipeline(cfg: PlanGenConfig, params=None) -> PlanGenPipeline:
         # required for 7B, where dense weights (14.5 GB) + int4 copies would
         # otherwise exceed one v5e's HBM
         qfn = functools.partial(
-            quantize_lm_params_int4,
-            act_int8=(cfg.generation.quantize == "int4_a8"),
+            quantize_lm_params_int4, act_int8=(mode == "int4_a8")
         )
-        params = jax.jit(qfn, donate_argnums=0)(params)
-    return PlanGenPipeline(params, cfg.model, proc, gen_cfg=cfg.generation)
+        return jax.jit(qfn, donate_argnums=0)(params)
+    return params
 
 
 def run_validation(

@@ -89,3 +89,55 @@ class TestLoadParams:
         np.testing.assert_array_equal(
             np.asarray(t.params["gen_embed"]), np.asarray(want["gen_embed"])
         )
+
+
+class TestQuantizedArtifacts:
+    """`cli convert --quantize` writes a directly-servable quantized tree;
+    loading must keep scales fp32 and build_pipeline must not re-quantize."""
+
+    @pytest.fixture(scope="class")
+    def q8_artifact(self, janus_dir, tmp_path_factory):
+        from plangen_tpu.cli import main
+        import plangen_tpu.config as config_mod
+
+        out = tmp_path_factory.mktemp("q8") / "artifact"
+        tiny = PlanGenModelConfig.tiny()
+        orig = config_mod.PlanGenModelConfig
+        config_mod.PlanGenModelConfig = lambda: tiny
+        try:
+            main(["convert", "--janus-path", str(janus_dir),
+                  "--out", str(out), "--quantize", "int8"])
+        finally:
+            config_mod.PlanGenModelConfig = orig
+        return out
+
+    def test_scales_stay_fp32_through_load(self, q8_artifact):
+        cfg = load_config("configs/toy_smoke.py", [f"params_path={q8_artifact}"])
+        params = load_params(cfg)  # default bf16 cast for dense weights
+        q = params["language_model"]["layers"]["q_proj"]
+        assert q["w_q8"].dtype == jnp.int8
+        assert q["scale"].dtype == jnp.float32  # NOT downcast to bf16
+        assert params["gen_embed"].dtype == jnp.bfloat16  # dense leaves cast
+
+    def test_pipeline_skips_requantize_and_runs(self, q8_artifact):
+        from plangen_tpu.tasks.eval import build_pipeline
+
+        cfg = load_config("configs/toy_smoke.py", [
+            f"params_path={q8_artifact}",
+            "generation.quantize=int8",
+            "generation.max_new_text_tokens=4",
+        ])
+        pipe = build_pipeline(cfg)
+        assert "w_q8" in pipe.params["language_model"]["layers"]["q_proj"]
+        out = pipe.plan(["two cats"])
+        assert len(out) == 1
+
+    def test_quantize_mismatch_raises(self, q8_artifact):
+        from plangen_tpu.tasks.eval import build_pipeline
+
+        cfg = load_config("configs/toy_smoke.py", [
+            f"params_path={q8_artifact}",
+            "generation.quantize=int4",
+        ])
+        with pytest.raises(ValueError, match="already int8-quantized"):
+            build_pipeline(cfg)
