@@ -83,8 +83,10 @@ def main() -> None:
     grid = cfg.vision.image_size // cfg.vq.downsample_factor  # 24
 
     key = jax.random.PRNGKey(0)
-    if (os.environ.get("BENCH_INT4") == "1" or os.environ.get("BENCH_INT4_A8") == "1") and os.environ.get("BENCH_INT8") == "1":
-        sys.exit("bench: BENCH_INT4 and BENCH_INT8 are mutually exclusive")
+    quant_envs = [e for e in ("BENCH_INT4", "BENCH_INT4_A8", "BENCH_INT8")
+                  if os.environ.get(e) == "1"]
+    if len(quant_envs) > 1:
+        sys.exit(f"bench: {' and '.join(quant_envs)} are mutually exclusive")
     # jit the init: one compiled program instead of per-op tunnel dispatches
     if os.environ.get("BENCH_INT4") == "1" or os.environ.get("BENCH_INT4_A8") == "1":
         from plangen_tpu.ops.quant import quantize_lm_params_int4

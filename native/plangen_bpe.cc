@@ -81,22 +81,4 @@ int32_t bpe_encode(void* h, const uint8_t* data, int32_t len, int32_t* out,
   return static_cast<int32_t>(toks.size());
 }
 
-// Batch form: encode n pre-tokens laid out back to back.
-// lens[i] gives each pre-token's byte length; out_lens[i] receives each
-// pre-token's id count. Returns total ids written or -1 on overflow.
-int32_t bpe_encode_batch(void* h, const uint8_t* data, const int32_t* lens,
-                         int32_t n, int32_t* out, int32_t out_cap,
-                         int32_t* out_lens) {
-  int32_t off = 0, written = 0;
-  for (int32_t i = 0; i < n; ++i) {
-    const int32_t got =
-        bpe_encode(h, data + off, lens[i], out + written, out_cap - written);
-    if (got < 0) return -1;
-    out_lens[i] = got;
-    written += got;
-    off += lens[i];
-  }
-  return written;
-}
-
 }  // extern "C"

@@ -48,19 +48,27 @@ def load_params(cfg: PlanGenConfig, dtype=None) -> Optional[Any]:
         ckptr = ocp.StandardCheckpointer()
         params = ckptr.restore(os.path.abspath(params_path))
 
-        # quantization scales must STAY fp32 (int8 "scale", int4 "s_lo"/
-        # "s_hi16"): the compute folds them in at full precision, and a
-        # bf16 downcast would silently degrade every dequantized weight
-        _KEEP_F32 = {"scale", "s_lo", "s_hi16", "k_scale", "v_scale"}
-
-        def cast(path, x):
+        # quantization scales must STAY fp32: the compute folds them in at
+        # full precision, and a bf16 downcast would silently degrade every
+        # dequantized weight. Detection is STRUCTURAL (a dict holding
+        # "w_q8"/"w_p4") — the bare name "scale" also names LayerNorm gains
+        # in the SigLIP/VQ towers, which must keep getting the dtype cast.
+        def cast_leaf(x):
             x = jnp.asarray(x)
-            name = path[-1].key if path else ""
-            if name in _KEEP_F32 or not jnp.issubdtype(x.dtype, jnp.floating):
-                return x
-            return x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                return x.astype(dtype)
+            return x
 
-        return jax.tree_util.tree_map_with_path(cast, params)
+        def walk(node):
+            if isinstance(node, dict):
+                if "w_q8" in node or "w_p4" in node:
+                    return jax.tree_util.tree_map(jnp.asarray, node)
+                return {k: walk(v) for k, v in node.items()}
+            if isinstance(node, (list, tuple)):
+                return type(node)(walk(v) for v in node)
+            return cast_leaf(node)
+
+        return walk(params)
 
     if _has_weight_files(cfg.janus_path):
         from plangen_tpu.convert.torch_to_jax import load_janus_checkpoint

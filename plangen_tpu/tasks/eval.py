@@ -53,8 +53,17 @@ def build_pipeline(cfg: PlanGenConfig, params=None) -> PlanGenPipeline:
         params = vlm.init(
             jax.random.PRNGKey(cfg.generation.seed), cfg.model, dtype=jnp.bfloat16
         )
-    params = _apply_quantize(params, cfg.generation.quantize)
-    return PlanGenPipeline(params, cfg.model, proc, gen_cfg=cfg.generation)
+    gen_cfg = cfg.generation
+    have = _artifact_quant_form(params)
+    if have is not None and gen_cfg.quantize is None:
+        # pre-quantized artifact (cli convert --quantize): engage the full
+        # quantized serving config (incl. the int8 KV cache) rather than
+        # silently running quantized weights with a bf16 cache
+        import dataclasses
+
+        gen_cfg = dataclasses.replace(gen_cfg, quantize=have)
+    params = _apply_quantize(params, gen_cfg.quantize)
+    return PlanGenPipeline(params, cfg.model, proc, gen_cfg=gen_cfg)
 
 
 def _artifact_quant_form(params) -> str | None:

@@ -120,6 +120,15 @@ def token_to_bytes(tok: str) -> Optional[bytes]:
 
 _CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
 
+# regex \s = Unicode White_Space; Python isspace() additionally returns True
+# for U+001C-001F (FILE/GROUP/RECORD/UNIT SEPARATOR), which the HF pattern
+# classifies as punctuation
+_NOT_WS = "\x1c\x1d\x1e\x1f"
+
+
+def _is_space(ch: str) -> bool:
+    return ch.isspace() and ch not in _NOT_WS
+
 
 def _is_letter(ch: str) -> bool:
     return unicodedata.category(ch).startswith("L")
@@ -155,11 +164,11 @@ def pretokenize_gpt2(text: str) -> List[str]:
         ch = text[i]
         lead = ""
         j = i
-        if ch == " " and i + 1 < n and not text[i + 1].isspace():
+        if ch == " " and i + 1 < n and not _is_space(text[i + 1]):
             lead = " "
             j = i + 1
             ch = text[j]
-        if not ch.isspace():
+        if not _is_space(ch):
             k = j + 1
             if _is_letter(ch):
                 while k < n and _is_letter(text[k]):
@@ -168,14 +177,14 @@ def pretokenize_gpt2(text: str) -> List[str]:
                 while k < n and _is_number(text[k]):
                     k += 1
             else:
-                while k < n and not text[k].isspace() and not _is_letter(text[k]) \
+                while k < n and not _is_space(text[k]) and not _is_letter(text[k]) \
                         and not _is_number(text[k]):
                     k += 1
             out.append(lead + text[j:k])
             i = k
         else:
             k = i
-            while k < n and text[k].isspace():
+            while k < n and _is_space(text[k]):
                 k += 1
             if k == n:
                 out.append(text[i:k])  # trailing whitespace: one token
@@ -217,16 +226,7 @@ class NativeBPE:
         for a in spec.get("added_tokens", []):
             self.added[a["content"]] = a["id"]
             self.id_to_token[a["id"]] = a["content"]
-        self._added_re = (
-            re.compile(
-                "|".join(
-                    re.escape(t)
-                    for t in sorted(self.added, key=len, reverse=True)
-                )
-            )
-            if self.added
-            else None
-        )
+        self._rebuild_added()
 
         b2u = bytes_to_unicode()
         byte_init = np.full(256, -1, dtype=np.int32)
@@ -278,22 +278,36 @@ class NativeBPE:
 
     def add_tokens(self, tokens: Sequence[str]) -> None:
         """Append added tokens with sequential ids (HF add_tokens semantics:
-        next id = current total size)."""
+        next id = current total size, where tokens listed in BOTH model.vocab
+        and added_tokens count ONCE — the real DeepSeek tokenizer.json keeps
+        its specials in both places)."""
         for t in tokens:
             if t in self.added or t in self.vocab:
                 continue
-            nid = len(self.vocab) + len(self.added)
+            nid = self.total_size
             self.added[t] = nid
             self.id_to_token[nid] = t
-        self._added_re = re.compile(
-            "|".join(
-                re.escape(t) for t in sorted(self.added, key=len, reverse=True)
+        self._rebuild_added()
+
+    def _rebuild_added(self) -> None:
+        self._added_re = (
+            re.compile(
+                "|".join(
+                    re.escape(t)
+                    for t in sorted(self.added, key=len, reverse=True)
+                )
             )
+            if self.added
+            else None
         )
+        self._added_ids = frozenset(self.added.values())
 
     @property
     def total_size(self) -> int:
-        return len(self.vocab) + len(self.added)
+        # distinct tokens: added entries that shadow vocab entries (same id)
+        # must not double-count
+        novel = sum(1 for t in self.added if t not in self.vocab)
+        return len(self.vocab) + novel
 
     def encode(self, text: str) -> List[int]:
         """Encode text (added/special tokens split first, no bos)."""
@@ -324,7 +338,7 @@ class NativeBPE:
             tok = self.id_to_token.get(int(i))
             if tok is None:
                 continue
-            if int(i) in set(self.added.values()) or tok in self.added:
+            if int(i) in self._added_ids or tok in self.added:
                 flush()
                 if not skip_special:
                     parts.append(tok)

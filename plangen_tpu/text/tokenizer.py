@@ -210,6 +210,7 @@ class NativeBPEAdapter:
         self._tok = tok
         self.vocab_size = tok.total_size
         ids = {**tok.vocab, **tok.added}
+        self._ids = ids
         self.special = SpecialTokens(
             bos_id=ids[BOS_TEXT],
             eos_id=ids[EOS_TEXT],
@@ -221,7 +222,7 @@ class NativeBPEAdapter:
         )
 
     def token_id(self, token: str) -> int:
-        return {**self._tok.vocab, **self._tok.added}[token]
+        return self._ids[token]
 
     def encode(self, text: str, add_bos: bool = True) -> List[int]:
         ids = self._tok.encode(text)

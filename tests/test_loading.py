@@ -132,6 +132,44 @@ class TestQuantizedArtifacts:
         out = pipe.plan(["two cats"])
         assert len(out) == 1
 
+    def test_artifact_without_config_engages_quantized_cache(self, q8_artifact):
+        """A pre-quantized artifact with generation.quantize=None must infer
+        the mode (incl. the int8 KV cache), not run a bf16 cache silently."""
+        from plangen_tpu.tasks.eval import build_pipeline
+
+        cfg = load_config("configs/toy_smoke.py", [
+            f"params_path={q8_artifact}",
+            "generation.max_new_text_tokens=4",
+        ])
+        assert cfg.generation.quantize is None
+        pipe = build_pipeline(cfg)
+        assert pipe.gen.quantize == "int8"
+
+    def test_norm_scale_leaves_still_cast(self, janus_dir, tmp_path):
+        """The fp32-preservation for QUANT scales must not exempt LayerNorm
+        weights (also named 'scale' in the SigLIP/VQ towers)."""
+        from plangen_tpu.cli import main
+        import plangen_tpu.config as config_mod
+
+        out = tmp_path / "plain"
+        tiny = PlanGenModelConfig.tiny()
+        orig = config_mod.PlanGenModelConfig
+        config_mod.PlanGenModelConfig = lambda: tiny
+        try:
+            main(["convert", "--janus-path", str(janus_dir), "--out", str(out)])
+        finally:
+            config_mod.PlanGenModelConfig = orig
+        cfg = load_config("configs/toy_smoke.py", [f"params_path={out}"])
+        params = load_params(cfg)  # default bf16
+        leaves = jax.tree_util.tree_leaves_with_path(params)
+        norm_scales = [
+            (jax.tree_util.keystr(p), a) for p, a in leaves
+            if jax.tree_util.keystr(p).endswith("['scale']")
+        ]
+        assert norm_scales, "expected LayerNorm 'scale' leaves in the tree"
+        for name, a in norm_scales:
+            assert a.dtype == jnp.bfloat16, f"{name} not cast: {a.dtype}"
+
     def test_quantize_mismatch_raises(self, q8_artifact):
         from plangen_tpu.tasks.eval import build_pipeline
 

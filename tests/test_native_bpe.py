@@ -51,6 +51,7 @@ SAMPLES = CORPUS + [
     " \nb",
     "mixed\t\n  \t ws",
     "<grounding>special<box>[1,2]</box></grounding>",
+    "separators \x1c\x1d\x1e\x1f control",  # isspace() but NOT regex \s
 ]
 
 
@@ -109,6 +110,20 @@ class TestEncodeParity:
         for text in SAMPLES:
             ids = nat.encode(text)
             assert nat.decode(ids) == text
+
+    def test_total_size_counts_overlap_once(self, trained):
+        """Tokens present in BOTH model.vocab and added_tokens (the trained
+        fixture's '<pad>'; the real DeepSeek json's bos/eos/pad) must count
+        once — a double-count shifts every subsequently added token id."""
+        hf_tok, path = trained
+        nat = NativeBPE(path)
+        overlap = [t for t in nat.added if t in nat.vocab]
+        assert overlap, "fixture must have vocab/added overlap to regress"
+        assert nat.total_size == hf_tok.get_vocab_size(with_added_tokens=True)
+        nat.add_tokens(["<new1>", "<new2>"])
+        hf_tok.add_special_tokens(["<new1>", "<new2>"])
+        assert nat.added["<new1>"] == hf_tok.token_to_id("<new1>")
+        assert nat.added["<new2>"] == hf_tok.token_to_id("<new2>")
 
     def test_special_tokens_split(self, trained):
         hf_tok, path = trained
