@@ -378,3 +378,79 @@ class TestInt4UnderMesh:
             np.float32,
         )
         np.testing.assert_allclose(h, h1, rtol=2e-2, atol=2e-2)
+
+
+class TestInt4Compositions:
+    def _vlm_int4(self):
+        from plangen_tpu.config import (
+            PlanGenModelConfig, ProjectorConfig, SigLIPConfig, VQConfig,
+        )
+        from plangen_tpu.models import vlm
+
+        cfg = PlanGenModelConfig(
+            llama=_int4_cfg(),
+            vision=SigLIPConfig(
+                image_size=32, patch_size=16, width=32, layers=2, heads=2
+            ),
+            vq=VQConfig(
+                codebook_size=256, codebook_dim=8, ch=8,
+                ch_mult=(1, 1, 1, 1, 2), num_res_blocks=1, z_channels=16,
+                group_norm_groups=4,
+            ),
+            aligner=ProjectorConfig(input_dim=32, n_embed=256, depth=2),
+            gen_aligner=ProjectorConfig(input_dim=8, n_embed=256, depth=2),
+            image_token_embed=256, image_token_size=256, gen_embed_dim=8,
+        )
+        params = vlm.init(KEY, cfg, dtype=jnp.bfloat16)
+        return cfg, quantize_lm_params_int4(params)
+
+    def test_speculative_with_int4(self):
+        """Self-speculative decoding over int4 params (B=1 CFG pair) runs
+        and yields in-range tokens (exact output-distribution property is
+        covered by test_speculative.py; this guards the composition)."""
+        from plangen_tpu.runtime.speculative import generate_image_tokens_spec
+
+        cfg, qp = self._vlm_int4()
+        N = cfg.image_seq_len
+        emb = jax.random.normal(jax.random.PRNGKey(9), (2, 5, 256), jnp.bfloat16)
+        mask = jnp.ones((2, 5 + N), jnp.int32)
+        out = generate_image_tokens_spec(
+            qp, cfg, emb, mask, rng=jax.random.PRNGKey(0),
+            cfg_weight=jnp.float32(5.0), temperature=jnp.float32(0.0),
+            num_tokens=N, draft_layers=1, draft_len=2,
+        )
+        toks = np.asarray(out.tokens)
+        assert toks.shape == (1, N)
+        assert toks.min() >= 0 and toks.max() < cfg.image_token_size
+
+    def test_fast_edit_with_int4(self):
+        """fast_edit's mixed Q=16 prefill chunks + Q=1 steps both route
+        through the int4 kernel (R <= 256 at this batch)."""
+        from plangen_tpu.runtime.fast_edit import (
+            frozen_chunk_schedule, generate_image_tokens_fast_edit,
+        )
+        from plangen_tpu.runtime.generate import generate_image_tokens
+
+        cfg, qp = self._vlm_int4()
+        N = cfg.image_seq_len
+        B = 2
+        emb = jax.random.normal(jax.random.PRNGKey(10), (2 * B, 5, 256), jnp.bfloat16)
+        mask = jnp.ones((2 * B, 5 + N), jnp.int32)
+        gt = jax.random.randint(jax.random.PRNGKey(11), (B, N), 0, 256)
+        regen = np.zeros((B, N), np.int32)
+        regen[:, 1] = 1  # one sampled token, rest frozen
+        sched = frozen_chunk_schedule(regen)  # 4 tokens -> 1 mixed chunk
+        out = generate_image_tokens_fast_edit(
+            qp, cfg, emb, mask, rng=jax.random.PRNGKey(0),
+            cfg_weight=jnp.float32(5.0), temperature=jnp.float32(1.0),
+            gt_tokens=gt, regen_mask=jnp.asarray(regen), num_tokens=N,
+            schedule=sched,
+        )
+        ref = generate_image_tokens(
+            qp, cfg, emb, mask, rng=jax.random.PRNGKey(0),
+            cfg_weight=jnp.float32(5.0), temperature=jnp.float32(1.0),
+            gt_tokens=gt, regen_mask=jnp.asarray(regen), num_tokens=N,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.tokens), np.asarray(ref.tokens)
+        )
