@@ -28,6 +28,13 @@ def cfg_combine(logits: jax.Array, cfg_weight: float | jax.Array) -> jax.Array:
     return uncond + cfg_weight * (cond - uncond)
 
 
+def fold_step(key: jax.Array, i) -> jax.Array:
+    """fold_in for a single key [2] or per-row keys [B, 2] (serving path)."""
+    if key.ndim == 2:
+        return jax.vmap(lambda k: jax.random.fold_in(k, i))(key)
+    return jax.random.fold_in(key, i)
+
+
 def sample_categorical(
     key: jax.Array,
     logits: jax.Array,  # [B, V] (already CFG-combined)
@@ -35,7 +42,11 @@ def sample_categorical(
 ) -> jax.Array:
     """Temperature sampling in fp32. Returns [B] int32 token ids.
 
-    temperature==0 is treated as greedy argmax.
+    temperature==0 is treated as greedy argmax. `key` is a single key [2]
+    (batch shares one stream, rows split by position — the bench/eval path)
+    or per-row keys [B, 2] (each row's stream is a pure function of ITS key,
+    so a request's tokens don't depend on batch composition — the serving
+    path, tasks/pipeline.py `seeds`).
     """
     logits = logits.astype(jnp.float32)
 
@@ -43,6 +54,10 @@ def sample_categorical(
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def _sample(k):
+        if k.ndim == 2:  # per-row keys
+            return jax.vmap(
+                lambda kk, lg: jax.random.categorical(kk, lg / temperature)
+            )(k, logits).astype(jnp.int32)
         return jax.random.categorical(k, logits / temperature, axis=-1).astype(
             jnp.int32
         )

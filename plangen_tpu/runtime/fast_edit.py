@@ -30,7 +30,7 @@ import numpy as np
 
 from plangen_tpu.config import PlanGenModelConfig
 from plangen_tpu.models import llama, vlm
-from plangen_tpu.ops.sampling import apply_teacher_forcing, cfg_combine, sample_categorical
+from plangen_tpu.ops.sampling import fold_step, apply_teacher_forcing, cfg_combine, sample_categorical
 from plangen_tpu.runtime.generate import ImageGenResult, prefill
 from plangen_tpu.runtime.kvcache import init_kv_cache
 
@@ -113,7 +113,7 @@ def generate_image_tokens_fast_edit(
     def sample_step(i, last_hidden, cache):
         logits = vlm.image_gen_logits(params, last_hidden)
         combined = cfg_combine(logits, cfg_weight)
-        token = sample_categorical(jax.random.fold_in(rng, i), combined, temperature)
+        token = sample_categorical(fold_step(rng, i), combined, temperature)
         token = apply_teacher_forcing(token, gt_tokens[:, i], regen_mask[:, i])
         pair = jnp.repeat(token, 2, axis=0)
         emb = vlm.gen_img_embeds(params, pair[:, None]).astype(cfg_embeds.dtype)

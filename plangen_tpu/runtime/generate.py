@@ -26,7 +26,9 @@ import jax.numpy as jnp
 
 from plangen_tpu.config import PlanGenModelConfig
 from plangen_tpu.models import llama, vlm
-from plangen_tpu.ops.sampling import apply_teacher_forcing, cfg_combine, sample_categorical
+from plangen_tpu.ops.sampling import (
+    apply_teacher_forcing, cfg_combine, fold_step, sample_categorical,
+)
 from plangen_tpu.runtime.kvcache import init_kv_cache
 
 Params = Dict[str, Any]
@@ -133,8 +135,9 @@ def generate_image_tokens(
             combined = cfg_combine(logits, cfg_weight)  # [B, V]
             # positional fold_in (not sequential splits): the sampled stream
             # is then invariant to how frozen runs are batched, so the
-            # fast-edit path (runtime/fast_edit.py) is token-identical
-            sub = jax.random.fold_in(key, i)
+            # fast-edit path (runtime/fast_edit.py) is token-identical;
+            # `key` may be per-row [B, 2] (serving reproducibility)
+            sub = fold_step(key, i)
             token = sample_categorical(sub, combined, temperature)  # [B]
             token = apply_teacher_forcing(token, gt_tokens[:, i], regen_mask[:, i])
             # duplicate for cond/uncond rows (plangen_base.py:602-604)

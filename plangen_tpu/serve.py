@@ -111,15 +111,12 @@ class Batcher:
 
     @staticmethod
     def _batch_key(req: _Request):
-        """Requests batch together only when they run the SAME program with
-        the same rng: mode + (for sampled modes) the requested seed — a
-        per-row seed can't be honored inside one `generate_image_tokens`
-        call, so distinct seeds get distinct batches instead of silently
-        inheriting row 0's."""
-        seed = None
-        if req.mode in ("generate", "joint"):
-            seed = req.payload.get("seed")
-        return (req.mode, seed)
+        """Requests batch together when they run the SAME program: mode only.
+        Per-request seeds ride as PER-ROW sampling keys (pipeline `seeds`),
+        so a request's tokens are a pure function of (inputs, its seed)
+        regardless of what shares the batch — distinct seeds no longer
+        fragment batches."""
+        return (req.mode,)
 
     def _drain(self) -> List[_Request]:
         if self._held is not None:
@@ -193,15 +190,18 @@ class Batcher:
 
         if mode in ("generate", "joint"):
             caps = self._pad([r.payload["caption"] for r in batch], bucket)
-            seed = int(batch[0].payload.get("seed", self.pipe.gen.seed))
+            seeds = self._pad(
+                [int(r.payload.get("seed", self.pipe.gen.seed)) for r in batch],
+                bucket,
+            )
             if mode == "joint":
-                out = self.pipe.joint_generate(caps, seed=seed)
+                out = self.pipe.joint_generate(caps, seeds=seeds)
                 groundings = out.groundings
             else:
                 groundings = self._pad(
                     [r.payload["grounding"] for r in batch], bucket
                 )
-                out = self.pipe.layout_to_image(caps, groundings, seed=seed)
+                out = self.pipe.layout_to_image(caps, groundings, seeds=seeds)
             for i, r in enumerate(batch):
                 r.result = {
                     "image_b64": _png_b64(out.images[i]),
@@ -240,7 +240,11 @@ class Batcher:
             out = self.pipe.edit_image(
                 caps, groundings, np.stack(imgs), np.stack(regions),
                 neg_groundings=neg_groundings,
-                seed=int(batch[0].payload.get("seed", self.pipe.gen.seed)),
+                seeds=self._pad(
+                    [int(r.payload.get("seed", self.pipe.gen.seed))
+                     for r in batch],
+                    bucket,
+                ),
             )
             for i, r in enumerate(batch):
                 r.result = {

@@ -169,12 +169,19 @@ class PlanGenPipeline:
         gt_images: Optional[np.ndarray] = None,
         edit_region: Optional[np.ndarray] = None,
         seed: Optional[int] = None,
+        seeds: Optional[Sequence[int]] = None,  # per-request (serving)
         parallel_size: Optional[int] = None,
         teacher_forcing: Optional[bool] = None,
     ) -> GenerationOutput:
         """Layout-conditioned image generation (task 'uni'), also the engine
         for edit/removal when `gt_images` + `edit_region` are given
-        (teacher forcing, plangen_base.py:593-598)."""
+        (teacher forcing, plangen_base.py:593-598).
+
+        `seeds` gives each caption its OWN sampling stream (per-row keys):
+        a request's tokens become a pure function of (inputs, its seed),
+        independent of what else shares the batch — the serving contract
+        (plangen_tpu/serve.py batches requests with different seeds
+        together because of this). `seed` keeps the single-stream form."""
         ps = parallel_size or self.gen.parallel_size
         captions = list(captions)
         ids, mask = self.proc.uni_batch(captions, list(groundings))
@@ -204,7 +211,17 @@ class PlanGenPipeline:
         embeds = _embed_ids(self.params, self.cfg, jnp.asarray(cfg_ids)).astype(
             self.dtype
         )
-        rng = jax.random.PRNGKey(self.gen.seed if seed is None else seed)
+        if seeds is not None:
+            assert len(seeds) == len(captions)
+            base = [jax.random.PRNGKey(int(s)) for s in seeds]
+            rows = [
+                jax.random.fold_in(k, c) if ps > 1 else k
+                for c in range(ps)
+                for k in base
+            ]
+            rng = jnp.stack(rows)  # [B, 2] per-row keys
+        else:
+            rng = jax.random.PRNGKey(self.gen.seed if seed is None else seed)
         if self.gen.fast_edit and gt_tokens is not None:
             # frozen runs prefilled in one pass (token-identical); the
             # schedule is canonicalized to a coarse prefix/suffix form so a
@@ -285,12 +302,13 @@ class PlanGenPipeline:
     # ------------------------------------------------------------ uni_2stage
 
     def joint_generate(
-        self, captions: Sequence[str], seed: Optional[int] = None
+        self, captions: Sequence[str], seed: Optional[int] = None,
+        seeds: Optional[Sequence[int]] = None,
     ) -> GenerationOutput:
         """Plan the layout, then generate the image conditioned on it
         (task 'uni_2stage'; reference plangen_base.py:363-390)."""
         groundings = self.plan(captions)
-        out = self.layout_to_image(captions, groundings, seed=seed)
+        out = self.layout_to_image(captions, groundings, seed=seed, seeds=seeds)
         out.groundings = groundings
         return out
 
@@ -305,6 +323,7 @@ class PlanGenPipeline:
         neg_captions: Optional[Sequence[str]] = None,
         neg_groundings: Optional[Sequence[str]] = None,
         seed: Optional[int] = None,
+        seeds: Optional[Sequence[int]] = None,
     ) -> GenerationOutput:
         """Layout-guided editing / object removal: background tokens frozen to
         the GT encoding, edit region re-sampled under the (possibly negative-
@@ -317,5 +336,6 @@ class PlanGenPipeline:
             gt_images=gt_images,
             edit_region=edit_region,
             seed=seed,
+            seeds=seeds,
             teacher_forcing=True,
         )

@@ -293,3 +293,34 @@ class TestChunkedDecode:
         ref = generate_image_tokens(params, TINY, embeds, mask, **kwargs)
         out = generate_image_tokens(params, TINY, embeds, mask, chunked=True, **kwargs)
         np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(out.tokens))
+
+
+class TestPerRowSamplingKeys:
+    """Serving reproducibility: with per-row keys ([B, 2] rng), a row's
+    sampled stream is a pure function of its own key — independent of batch
+    composition (plangen_tpu/serve.py batches mixed seeds because of this)."""
+
+    def _gen(self, keys, n=4):
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        B = keys.shape[0]
+        ids = jnp.tile(jnp.arange(6)[None], (2 * B, 1))
+        emb = vlm.embed_text(params, ids).astype(jnp.float32)
+        mask = jnp.ones((2 * B, 6 + n), jnp.int32)
+        out = generate_image_tokens(
+            params, TINY, emb, mask, rng=keys,
+            cfg_weight=jnp.float32(5.0), temperature=jnp.float32(1.0),
+            num_tokens=n,
+        )
+        return np.asarray(out.tokens)
+
+    def test_same_key_rows_identical(self):
+        k = jax.random.PRNGKey(7)
+        toks = self._gen(jnp.stack([k, k, jax.random.PRNGKey(9)]))
+        np.testing.assert_array_equal(toks[0], toks[1])
+        assert not np.array_equal(toks[0], toks[2])
+
+    def test_batch_composition_independent(self):
+        k1, k2, k3 = (jax.random.PRNGKey(i) for i in (1, 2, 3))
+        a = self._gen(jnp.stack([k1, k2]))
+        b = self._gen(jnp.stack([k1, k3]))
+        np.testing.assert_array_equal(a[0], b[0])

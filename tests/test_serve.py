@@ -141,9 +141,10 @@ class TestServe:
         assert code == 500
         assert "error" in out
 
-    def test_distinct_seeds_not_batched_together(self, server):
-        """Per-request seeds are honored: requests with different seeds run
-        in different batches, and the same (caption, seed) reproduces."""
+    def test_per_request_seeds_reproduce_across_batching(self, server):
+        """Per-request seeds ride as per-row sampling keys, so the same
+        (caption, seed) reproduces REGARDLESS of how requests were batched
+        (distinct seeds share a batch now — no batch fragmentation)."""
         base, batcher = server
         outs = []
         lock = threading.Lock()
