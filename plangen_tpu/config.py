@@ -237,6 +237,10 @@ class GenerationConfig:
     # self-speculative decoding (B=1 only, runtime/speculative.py):
     # distribution-exact; speed depends on trained-weight draft agreement
     speculative: bool = False
+    # Jacobi parallel decoding for the GREEDY text paths (plan/mmu,
+    # runtime/jacobi.py): token-exact at the fixed point; speed depends on
+    # trained-weight convergence (random weights: no win)
+    jacobi: bool = False
     spec_draft_layers: int = 8
     spec_draft_len: int = 4
     # long negative prompt, cfg/base.py `neg_prompt`

@@ -110,21 +110,31 @@ class PlanGenPipeline:
 
     # ------------------------------------------------------------------ plan
 
+    def _text_decode(self, embeds, mask, budget):
+        """Greedy text decode: sequential KV-cached loop, or Jacobi parallel
+        iteration when generation.jacobi is set (token-exact either way)."""
+        if getattr(self.gen, "jacobi", False):
+            from plangen_tpu.runtime.jacobi import jacobi_decode_text
+
+            return jacobi_decode_text(
+                self.params, self.cfg, embeds, mask,
+                jnp.int32(self.proc.tok.special.eos_id),
+                max_new_tokens=budget,
+            )
+        return greedy_decode_text(
+            self.params, self.cfg, embeds, mask,
+            jnp.int32(self.proc.tok.special.eos_id),
+            max_new_tokens=budget,
+            growing_cache=self.gen.growing_cache,
+        )
+
     def plan(self, captions: Sequence[str]) -> List[str]:
         """Text -> layout grounding strings (task 'plan'; reference
         uni_generate pred_layout branch, plangen_base.py:363-377)."""
         budget = self.gen.max_new_text_tokens
         ids, mask = self.proc.stage1_batch(list(captions), budget)
         embeds = _embed_ids(self.params, self.cfg, jnp.asarray(ids)).astype(self.dtype)
-        tokens = greedy_decode_text(
-            self.params,
-            self.cfg,
-            embeds,
-            jnp.asarray(mask),
-            jnp.int32(self.proc.tok.special.eos_id),
-            max_new_tokens=budget,
-            growing_cache=self.gen.growing_cache,
-        )
+        tokens = self._text_decode(embeds, jnp.asarray(mask), budget)
         texts = self.proc.decode_until_eos(np.asarray(tokens))
         return [truncate_grounding(t) for t in texts]
 
@@ -146,15 +156,7 @@ class PlanGenPipeline:
             jnp.asarray(images, dtype=self.dtype),
             jnp.asarray(batch.images_seq_mask),
         ).astype(self.dtype)
-        tokens = greedy_decode_text(
-            self.params,
-            self.cfg,
-            embeds,
-            jnp.asarray(batch.attn_mask),
-            jnp.int32(self.proc.tok.special.eos_id),
-            max_new_tokens=budget,
-            growing_cache=self.gen.growing_cache,
-        )
+        tokens = self._text_decode(embeds, jnp.asarray(batch.attn_mask), budget)
         texts = self.proc.decode_until_eos(np.asarray(tokens))
         return GenerationOutput(texts=texts, groundings=texts)
 

@@ -68,3 +68,23 @@ class TestJacobiExactness:
             max_new_tokens=10, max_iters=1,
         )
         assert np.asarray(toks).shape == (3, 10)
+
+
+class TestPipelineJacobi:
+    def test_plan_with_jacobi_matches_sequential(self):
+        import dataclasses
+
+        from plangen_tpu.config import GenerationConfig
+        from plangen_tpu.tasks.pipeline import PlanGenPipeline
+        from plangen_tpu.tasks.processor import PlanGenProcessor
+        from plangen_tpu.text.tokenizer import ByteFallbackTokenizer
+
+        tok = ByteFallbackTokenizer(vocab_size=TINY.llama.vocab_size)
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        gen = GenerationConfig(max_new_text_tokens=6)
+        proc = PlanGenProcessor(tok, image_tokens=TINY.image_seq_len, gen=gen)
+        seq = PlanGenPipeline(params, TINY, proc, gen_cfg=gen).plan(["two cats"])
+        gen_j = dataclasses.replace(gen, jacobi=True)
+        proc_j = PlanGenProcessor(tok, image_tokens=TINY.image_seq_len, gen=gen_j)
+        jac = PlanGenPipeline(params, TINY, proc_j, gen_cfg=gen_j).plan(["two cats"])
+        assert jac == seq
