@@ -81,7 +81,8 @@ def generate_image_tokens(
     cfg: PlanGenModelConfig,
     cfg_embeds: jax.Array,  # [2B, L, H] interleaved cond/uncond prompt embeds
     attn_mask: jax.Array,  # [2B, L + num_tokens] pad mask (image region = 1)
-    rng: jax.Array,
+    rng: jax.Array,  # single key [2], or per-row keys [B, 2] (serving:
+    # each row's stream is a pure function of its key — ops/sampling.py)
     cfg_weight: jax.Array,  # scalar
     temperature: jax.Array,  # scalar
     gt_tokens: Optional[jax.Array] = None,  # [B, num_tokens] for teacher forcing
