@@ -145,3 +145,35 @@ class TestCfgBatchEdge:
         n_pad0 = int((np.asarray(cfg_ids[0]) == pad_id).sum())
         assert (np.asarray(cfg_mask[0][:n_pad0]) == 0).all()
         assert np.asarray(cfg_mask[:, -4:]).all()
+
+
+class TestPerRequestSeeds:
+    def test_parallel_size_with_seeds(self):
+        """seeds + parallel_size: the ps copies of a request sample DIFFERENT
+        streams (copy index folded in), and the whole call reproduces."""
+        from plangen_tpu.config import GenerationConfig
+        from plangen_tpu.tasks.pipeline import PlanGenPipeline
+        from plangen_tpu.tasks.processor import PlanGenProcessor
+        from plangen_tpu.text.tokenizer import ByteFallbackTokenizer
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from plangen_tpu.config import PlanGenModelConfig
+        from plangen_tpu.models import vlm
+
+        tiny = PlanGenModelConfig.tiny()
+        tok = ByteFallbackTokenizer(vocab_size=tiny.llama.vocab_size)
+        params = vlm.init(jax.random.PRNGKey(0), tiny, dtype=jnp.float32)
+        gen = GenerationConfig(max_new_text_tokens=4)
+        proc = PlanGenProcessor(tok, image_tokens=tiny.image_seq_len, gen=gen)
+        pipe = PlanGenPipeline(params, tiny, proc, gen_cfg=gen)
+        g = "<grounding><ref>cat</ref><box>[100,100,600,600]</box></grounding>"
+
+        out1 = pipe.layout_to_image(["a"], [g], seeds=[5], parallel_size=2)
+        out2 = pipe.layout_to_image(["a"], [g], seeds=[5], parallel_size=2)
+        t1 = np.asarray(out1.image_tokens)
+        assert t1.shape[0] == 2  # B * parallel_size rows
+        np.testing.assert_array_equal(t1, np.asarray(out2.image_tokens))
+        assert not np.array_equal(t1[0], t1[1])  # copies sample differently
