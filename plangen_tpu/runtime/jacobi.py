@@ -24,6 +24,7 @@ i.e. no speedup), so the default remains the sequential KV-cached loop.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -35,6 +36,10 @@ from plangen_tpu.models import llama, vlm
 Params = Dict[str, Any]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "max_iters", "return_iters"),
+)
 def jacobi_decode_text(
     params: Params,
     cfg: PlanGenModelConfig,

@@ -35,6 +35,7 @@ import base64
 import io
 import json
 import queue
+import random
 import threading
 import time
 from dataclasses import dataclass, field
@@ -108,6 +109,13 @@ class Batcher:
             if b >= n:
                 return min(b, self.max_batch)
         return self.max_batch
+
+    @staticmethod
+    def _req_seed(req: _Request) -> int:
+        """Explicit seed, or a fresh random one: with per-row keys a shared
+        default seed would make duplicate seedless requests byte-identical."""
+        s = req.payload.get("seed")
+        return int(s) if s is not None else random.getrandbits(31)
 
     @staticmethod
     def _batch_key(req: _Request):
@@ -190,10 +198,7 @@ class Batcher:
 
         if mode in ("generate", "joint"):
             caps = self._pad([r.payload["caption"] for r in batch], bucket)
-            seeds = self._pad(
-                [int(r.payload.get("seed", self.pipe.gen.seed)) for r in batch],
-                bucket,
-            )
+            seeds = self._pad([self._req_seed(r) for r in batch], bucket)
             if mode == "joint":
                 out = self.pipe.joint_generate(caps, seeds=seeds)
                 groundings = out.groundings
@@ -240,11 +245,7 @@ class Batcher:
             out = self.pipe.edit_image(
                 caps, groundings, np.stack(imgs), np.stack(regions),
                 neg_groundings=neg_groundings,
-                seeds=self._pad(
-                    [int(r.payload.get("seed", self.pipe.gen.seed))
-                     for r in batch],
-                    bucket,
-                ),
+                seeds=self._pad([self._req_seed(r) for r in batch], bucket),
             )
             for i, r in enumerate(batch):
                 r.result = {

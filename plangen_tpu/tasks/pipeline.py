@@ -18,6 +18,8 @@ host-side numpy batch construction.
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence
@@ -33,6 +35,19 @@ from plangen_tpu.tasks.processor import PlanGenProcessor
 from plangen_tpu.text.grounding import truncate_grounding
 
 Params = Dict[str, Any]
+
+
+@functools.partial(jax.jit, static_argnames=("ps",))
+def _row_keys(seeds: jax.Array, ps: int) -> jax.Array:
+    """Per-row sampling keys [B*ps, 2] from per-caption seeds [B], the
+    parallel_size copy index folded in (row r = copy r//B of caption r%B)."""
+    base = jax.vmap(jax.random.PRNGKey)(seeds)
+    if ps == 1:
+        return base
+    return jnp.concatenate(
+        [jax.vmap(lambda k: jax.random.fold_in(k, c))(base) for c in range(ps)],
+        axis=0,
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg", "grid"))
@@ -215,13 +230,11 @@ class PlanGenPipeline:
         )
         if seeds is not None:
             assert len(seeds) == len(captions)
-            base = [jax.random.PRNGKey(int(s)) for s in seeds]
-            rows = [
-                jax.random.fold_in(k, c) if ps > 1 else k
-                for c in range(ps)
-                for k in base
-            ]
-            rng = jnp.stack(rows)  # [B, 2] per-row keys
+            # one jitted dispatch (eager per-key PRNGKey/fold_in calls cost
+            # ~1s each over the axon tunnel — CLAUDE.md)
+            rng = _row_keys(
+                jnp.asarray([int(s) for s in seeds], jnp.int32), ps
+            )  # [B, 2] per-row keys
         else:
             rng = jax.random.PRNGKey(self.gen.seed if seed is None else seed)
         if self.gen.fast_edit and gt_tokens is not None:
@@ -272,7 +285,8 @@ class PlanGenPipeline:
                 self.cfg,
                 embeds,
                 jnp.asarray(cfg_mask),
-                rng=rng,
+                # speculative is B=1: the request's own key IS row 0's key
+                rng=rng[0] if rng.ndim == 2 else rng,
                 cfg_weight=jnp.float32(self.gen.cfg_weight),
                 temperature=jnp.float32(self.gen.temperature),
                 num_tokens=n_img,

@@ -80,3 +80,35 @@ class TestSpeculative:
         np.testing.assert_array_equal(a, b)
         assert (a >= 0).all() and (a < TINY.image_token_size).all()
         assert not np.array_equal(a, c)
+
+
+class TestSpeculativeWithPerRowSeeds:
+    def test_serving_seeds_route_to_single_key(self):
+        """serve.py always passes per-request seeds; the B=1 speculative
+        branch must collapse the [1, 2] key array to row 0's key instead of
+        crashing in fold_in (regression: caught by review)."""
+        import dataclasses
+
+        from plangen_tpu.config import GenerationConfig, PlanGenModelConfig
+        from plangen_tpu.models import vlm
+        from plangen_tpu.tasks.pipeline import PlanGenPipeline
+        from plangen_tpu.tasks.processor import PlanGenProcessor
+        from plangen_tpu.text.tokenizer import ByteFallbackTokenizer
+
+        tiny = PlanGenModelConfig.tiny()
+        tok = ByteFallbackTokenizer(vocab_size=tiny.llama.vocab_size)
+        params = vlm.init(jax.random.PRNGKey(0), tiny, dtype=jnp.float32)
+        gen = GenerationConfig(
+            speculative=True, spec_draft_layers=1, spec_draft_len=2,
+            max_new_text_tokens=4,
+        )
+        proc = PlanGenProcessor(tok, image_tokens=tiny.image_seq_len, gen=gen)
+        pipe = PlanGenPipeline(params, tiny, proc, gen_cfg=gen)
+        g = "<grounding><ref>cat</ref><box>[100,100,600,600]</box></grounding>"
+        out = pipe.layout_to_image(["a"], [g], seeds=[5])
+        assert np.asarray(out.image_tokens).shape == (1, tiny.image_seq_len)
+        # reproducible by the request's seed
+        out2 = pipe.layout_to_image(["a"], [g], seeds=[5])
+        np.testing.assert_array_equal(
+            np.asarray(out.image_tokens), np.asarray(out2.image_tokens)
+        )
