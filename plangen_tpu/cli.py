@@ -53,7 +53,10 @@ def cmd_train(args) -> None:
 
     cfg = load_config(args.cfg, args.opt)
     trainer = Trainer(cfg)
-    metrics = trainer.fit(max_steps=args.max_steps)
+    # in-training validation cadence (reference train.py:208-210); sized by
+    # train.val_max_len, disable with validation_steps=0
+    validate_fn = trainer.validate if cfg.train.validation_steps > 0 else None
+    metrics = trainer.fit(max_steps=args.max_steps, validate_fn=validate_fn)
     print(json.dumps({"final": metrics}))
 
 
@@ -118,6 +121,11 @@ def cmd_convert(args) -> None:
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="plangen_tpu")
+    # plugin platforms (axon TPU) register at import and ignore
+    # JAX_PLATFORMS=cpu, so CPU smoke runs need the config knob set BEFORE
+    # the first device query — a CLI flag is the only reliable place
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX platform (cpu = smoke-test off-device)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pt = sub.add_parser("train", help="multi-task training")
@@ -141,7 +149,7 @@ def main(argv=None) -> None:
     ps.add_argument("--opt", nargs="*", default=[])
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8000)
-    ps.add_argument("--max-batch", type=int, default=8)
+    ps.add_argument("--max-batch", type=int, default=32)
     ps.add_argument("--wait-ms", type=float, default=20.0)
     ps.set_defaults(fn=cmd_serve)
 
@@ -156,6 +164,10 @@ def main(argv=None) -> None:
     pc.set_defaults(fn=cmd_convert)
 
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 

@@ -304,11 +304,14 @@ class TrainConfig:
     prefetch_depth: int = 2
     optim: OptimConfig = field(default_factory=OptimConfig)
     train_data: Tuple[FlowConfig, ...] = (FlowConfig(),)
-    # validation workload (reference cfg `test_data`)
+    # validation workload (reference cfg `test_data` + cadence, train.py:208-210)
     test_data: FlowConfig = field(
         default_factory=lambda: FlowConfig(task_type="uni", data_name="toy",
                                            batch_size=1)
     )
+    # batches per in-training validation pass (-1 = full test set); the old
+    # hardcoded max_len=1 made the cadence a near-no-op
+    val_max_len: int = 4
     # loss scales: map loss-key substring -> multiplier; plan_lr_scale applies to
     # every '*lm*' loss key (reference forward: plangen_base.py:1077-1084)
     loss_scales: Dict[str, float] = field(default_factory=dict)

@@ -15,16 +15,28 @@ scripts, run_infer.sh). Design is TPU-first:
     (uni_2stage), understand (mmu), edit/removal.
 
 Endpoints (JSON in/out):
-  POST /generate   {"caption": str, "grounding": str, "seed"?: int}
-                   -> {"image_b64": png, "tokens": [...]}
+  POST /generate   {"caption": str, "grounding": str, "seed"?: int,
+                    "parallel_size"?: int}
+                   -> {"image_b64": png, "images_b64": [png x ps],
+                       "tokens": [...], "seed": int}
   POST /plan       {"caption": str} -> {"grounding": str}
-  POST /joint      {"caption": str, "seed"?: int} -> {"grounding", "image_b64"}
-  POST /understand {"image_b64": png} -> {"grounding": str}
+  POST /joint      {"caption": str, "seed"?: int, "parallel_size"?: int}
+                   -> {"grounding", "image_b64", "images_b64", "seed"}
+  POST /understand {"image_b64": png, "question"?: str} -> {"grounding": str}
   POST /edit       {"caption"?, "grounding": str, "image_b64": png,
                     "edit_region": [576 ints, 1 = regenerate],
                     "neg_grounding"?: str (removal), "seed"?: int}
-                   -> {"image_b64": png, "tokens": [...]}
+                   -> {"image_b64": png, "tokens": [...], "seed": int}
   GET  /healthz    -> {"ok": true, "stats": {...}}
+
+Seed contract: a request WITH "seed" is deterministic — its tokens are a pure
+function of (inputs, seed), independent of batch composition (per-row sampling
+keys, tasks/pipeline.py). Seedless requests draw a fresh random 31-bit seed
+per request (duplicate seedless requests must not be byte-identical); the
+chosen seed is echoed in the response "seed" field so any result can be
+reproduced by resubmitting with it. `parallel_size` (default 1, reference
+signature default is 4 — plangen_base.py:336) samples that many images from
+one prompt; `images_b64` lists them and `image_b64`/`tokens` keep the first.
 
 Run: python -m plangen_tpu.cli serve --cfg ... --port 8000
 """
@@ -59,7 +71,9 @@ def _png_decode(b64: str, hw: int) -> np.ndarray:
     from PIL import Image
 
     img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
-    img = img.resize((hw, hw))
+    # bicubic to match the reference preprocessor's resample
+    # (janus/models/image_processing_vlm.py:149-154 and data/preprocess.py)
+    img = img.resize((hw, hw), Image.BICUBIC)
     return np.asarray(img).astype(np.float32) / 127.5 - 1.0
 
 
@@ -79,9 +93,11 @@ class Batcher:
     each (mode, bucket) shape compiles exactly once. `wait_ms` bounds the
     extra latency a request pays for batching."""
 
-    BUCKETS = (1, 2, 4, 8, 16, 32)
+    BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
-    def __init__(self, pipeline, max_batch: int = 8, wait_ms: float = 20.0):
+    # max_batch default matches the measured v5e throughput plateau (B=32-64,
+    # README perf table) — B=8 leaves ~25% of chip throughput on the floor
+    def __init__(self, pipeline, max_batch: int = 32, wait_ms: float = 20.0):
         self.pipe = pipeline
         self.max_batch = max_batch
         self.wait_s = wait_ms / 1000.0
@@ -95,6 +111,11 @@ class Batcher:
 
     def submit(self, mode: str, payload: Dict[str, Any]) -> _Request:
         req = _Request(mode, payload)
+        # validate per-request knobs HERE (raises to the caller as a 400):
+        # a bad value must fail only this request, never the batcher loop
+        # or an unrelated request sharing its microbatch
+        self._req_seed(req)
+        self._req_ps(req)
         self.q.put(req)
         return req
 
@@ -113,17 +134,38 @@ class Batcher:
     @staticmethod
     def _req_seed(req: _Request) -> int:
         """Explicit seed, or a fresh random one: with per-row keys a shared
-        default seed would make duplicate seedless requests byte-identical."""
+        default seed would make duplicate seedless requests byte-identical.
+        The chosen value is echoed in the response. Explicit seeds must fit
+        the per-row key dtype (tasks/pipeline.py uses 32-bit keys); rejecting
+        HERE fails only this request, not the whole microbatch."""
         s = req.payload.get("seed")
-        return int(s) if s is not None else random.getrandbits(31)
+        if s is None:
+            return random.getrandbits(31)
+        s = int(s)
+        if not (0 <= s < 2 ** 32):
+            raise ValueError(f"seed must be in [0, 2**32), got {s}")
+        return s
+
+    @staticmethod
+    def _req_ps(req: _Request) -> int:
+        ps = int(req.payload.get("parallel_size", 1))
+        if not (1 <= ps <= 16):
+            raise ValueError(f"parallel_size must be in [1, 16], got {ps}")
+        return ps
 
     @staticmethod
     def _batch_key(req: _Request):
-        """Requests batch together when they run the SAME program: mode only.
-        Per-request seeds ride as PER-ROW sampling keys (pipeline `seeds`),
-        so a request's tokens are a pure function of (inputs, its seed)
-        regardless of what shares the batch — distinct seeds no longer
+        """Requests batch together when they run the SAME program: mode plus
+        any payload field that changes the compiled shape or shared prompt
+        (parallel_size widens the device batch; an MMU question is one prompt
+        per batch). Per-request seeds ride as PER-ROW sampling keys (pipeline
+        `seeds`), so a request's tokens are a pure function of (inputs, its
+        seed) regardless of what shares the batch — distinct seeds do not
         fragment batches."""
+        if req.mode in ("generate", "joint"):
+            return (req.mode, Batcher._req_ps(req))
+        if req.mode == "understand":
+            return (req.mode, req.payload.get("question"))
         return (req.mode,)
 
     def _drain(self) -> List[_Request]:
@@ -135,8 +177,11 @@ class Batcher:
             except queue.Empty:
                 return []
         batch = [first]
+        # device batch = requests x parallel_size: cap request count so the
+        # widened batch stays at the compiled-buckets ceiling
+        cap = max(1, self.max_batch // self._req_ps(first))
         deadline = time.perf_counter() + self.wait_s
-        while len(batch) < self.max_batch:
+        while len(batch) < cap:
             timeout = deadline - time.perf_counter()
             if timeout <= 0:
                 break
@@ -191,27 +236,39 @@ class Batcher:
             imgs = self._pad(
                 [_png_decode(r.payload["image_b64"], hw) for r in batch], bucket
             )
-            out = self.pipe.understand(np.stack(imgs))
+            # one question per batch (the batch key includes it); None keeps
+            # the reference's default MMU prompt
+            out = self.pipe.understand(
+                np.stack(imgs), question=batch[0].payload.get("question")
+            )
             for r, g in zip(batch, out.groundings):
                 r.result = {"grounding": g}
             return
 
         if mode in ("generate", "joint"):
+            ps = self._req_ps(batch[0])  # uniform across the batch (batch key)
             caps = self._pad([r.payload["caption"] for r in batch], bucket)
             seeds = self._pad([self._req_seed(r) for r in batch], bucket)
             if mode == "joint":
-                out = self.pipe.joint_generate(caps, seeds=seeds)
+                out = self.pipe.joint_generate(caps, seeds=seeds,
+                                               parallel_size=ps)
                 groundings = out.groundings
             else:
                 groundings = self._pad(
                     [r.payload["grounding"] for r in batch], bucket
                 )
-                out = self.pipe.layout_to_image(caps, groundings, seeds=seeds)
+                out = self.pipe.layout_to_image(caps, groundings, seeds=seeds,
+                                                parallel_size=ps)
             for i, r in enumerate(batch):
+                # parallel_size rows are copy-major (pipeline._row_keys):
+                # request i's sample c sits at row c*bucket + i
+                rows = [c * bucket + i for c in range(ps)]
                 r.result = {
-                    "image_b64": _png_b64(out.images[i]),
+                    "image_b64": _png_b64(out.images[rows[0]]),
+                    "images_b64": [_png_b64(out.images[j]) for j in rows],
                     "grounding": groundings[i],
-                    "tokens": [int(t) for t in out.image_tokens[i]],
+                    "tokens": [int(t) for t in out.image_tokens[rows[0]]],
+                    "seed": seeds[i],
                 }
             return
 
@@ -242,15 +299,17 @@ class Batcher:
                     raise ValueError(
                         f"edit_region must have {n_img} entries, got {reg.shape}"
                     )
+            seeds = self._pad([self._req_seed(r) for r in batch], bucket)
             out = self.pipe.edit_image(
                 caps, groundings, np.stack(imgs), np.stack(regions),
                 neg_groundings=neg_groundings,
-                seeds=self._pad([self._req_seed(r) for r in batch], bucket),
+                seeds=seeds,
             )
             for i, r in enumerate(batch):
                 r.result = {
                     "image_b64": _png_b64(out.images[i]),
                     "tokens": [int(t) for t in out.image_tokens[i]],
+                    "seed": seeds[i],
                 }
             return
 
@@ -287,7 +346,11 @@ def make_handler(batcher: Batcher):
             except (ValueError, json.JSONDecodeError) as e:
                 self._send(400, {"error": f"bad json: {e}"})
                 return
-            req = batcher.submit(mode, payload)
+            try:
+                req = batcher.submit(mode, payload)
+            except (ValueError, TypeError) as e:
+                self._send(400, {"error": str(e)})
+                return
             req.done.wait()
             if req.error:
                 self._send(500, {"error": req.error})
@@ -298,7 +361,7 @@ def make_handler(batcher: Batcher):
 
 
 def serve(cfg, host: str = "127.0.0.1", port: int = 8000,
-          max_batch: int = 8, wait_ms: float = 20.0, params=None):
+          max_batch: int = 32, wait_ms: float = 20.0, params=None):
     """Build the pipeline and serve until interrupted."""
     from plangen_tpu.tasks.eval import build_pipeline
 

@@ -115,6 +115,7 @@ def run_validation(
     params=None,
     global_step: int = 0,
     start: int = 0,  # skip the first N batches (reference test_start)
+    metrics_cb=None,  # callable(agg_metrics) — trainer JSONL logging hook
 ) -> List[Dict]:
     pipe = build_pipeline(cfg, params)
     ds = get_dataset(cfg, data_name, is_test=True)
@@ -176,6 +177,8 @@ def run_validation(
         with open(os.path.join(base, f"{global_step}_metrics.json"), "w") as f:
             json.dump(agg, f, indent=1)
         print(f"layout metrics: {agg}")
+        if metrics_cb is not None:
+            metrics_cb(agg)
     return results
 
 

@@ -231,9 +231,12 @@ class PlanGenPipeline:
         if seeds is not None:
             assert len(seeds) == len(captions)
             # one jitted dispatch (eager per-key PRNGKey/fold_in calls cost
-            # ~1s each over the axon tunnel — CLAUDE.md)
+            # ~1s each over the axon tunnel — CLAUDE.md). Seeds are taken
+            # mod 2**32 (the per-row key dtype): wider ints fold rather than
+            # raise, so one oversized seed can't fail a whole served batch.
             rng = _row_keys(
-                jnp.asarray([int(s) for s in seeds], jnp.int32), ps
+                jnp.asarray([int(s) & 0xFFFFFFFF for s in seeds], jnp.uint32),
+                ps,
             )  # [B, 2] per-row keys
         else:
             rng = jax.random.PRNGKey(self.gen.seed if seed is None else seed)
@@ -320,11 +323,13 @@ class PlanGenPipeline:
     def joint_generate(
         self, captions: Sequence[str], seed: Optional[int] = None,
         seeds: Optional[Sequence[int]] = None,
+        parallel_size: Optional[int] = None,
     ) -> GenerationOutput:
         """Plan the layout, then generate the image conditioned on it
         (task 'uni_2stage'; reference plangen_base.py:363-390)."""
         groundings = self.plan(captions)
-        out = self.layout_to_image(captions, groundings, seed=seed, seeds=seeds)
+        out = self.layout_to_image(captions, groundings, seed=seed, seeds=seeds,
+                                   parallel_size=parallel_size)
         out.groundings = groundings
         return out
 

@@ -205,6 +205,61 @@ def pretokenize_gpt2(text: str) -> List[str]:
 # ---------------------------------------------------------------------------
 
 
+# the exact GPT-2 split pattern as HF tokenizer.json Split rules spell it
+_GPT2_SPLIT_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+    "|\\s+(?!\\S)|\\s+"
+)
+
+
+def _check_bytelevel(bl: dict) -> Optional[str]:
+    if bl.get("type") != "ByteLevel":
+        return f"pre_tokenizer type {bl.get('type')!r}"
+    if bl.get("add_prefix_space", False):
+        return "ByteLevel add_prefix_space=true"
+    return None
+
+
+def _unsupported_spec(spec: dict) -> Optional[str]:
+    """Return a reason string if tokenizer.json declares a normalizer or
+    pre-tokenizer this engine does not implement, else None.
+
+    This module hardcodes GPT-2 ByteLevel pre-tokenization
+    (`pretokenize_gpt2`), so any checkpoint whose spec differs (e.g. a Split
+    rule chunking digit runs) would silently produce diverging ids if
+    accepted — raise instead so load_tokenizer surfaces the real problem.
+    Accepted forms: no normalizer (or an empty Sequence); a plain ByteLevel
+    pre-tokenizer with its internal regex; or the equivalent
+    Sequence[Split(GPT-2 pattern), ByteLevel(use_regex=false)] spelling.
+    """
+    norm = spec.get("normalizer")
+    if norm is not None and not (
+        norm.get("type") == "Sequence" and not norm.get("normalizers")
+    ):
+        return f"normalizer {norm.get('type')!r}"
+    pre = spec.get("pre_tokenizer")
+    if pre is None:
+        return "missing pre_tokenizer (byte-level BPE requires ByteLevel)"
+    if pre.get("type") == "ByteLevel":
+        if not pre.get("use_regex", True):
+            return "ByteLevel use_regex=false without a Split rule"
+        return _check_bytelevel(pre)
+    if pre.get("type") == "Sequence":
+        subs = pre.get("pretokenizers", [])
+        if (
+            len(subs) == 2
+            and subs[0].get("type") == "Split"
+            and subs[0].get("pattern", {}).get("Regex") == _GPT2_SPLIT_PATTERN
+            and subs[0].get("behavior") in ("Isolated", "isolated")
+            and subs[0].get("invert", False) is False
+            and subs[1].get("type") == "ByteLevel"
+            and not subs[1].get("use_regex", True)
+        ):
+            return _check_bytelevel(subs[1])
+        return "pre_tokenizer Sequence (only Split(GPT-2)+ByteLevel supported)"
+    return f"pre_tokenizer type {pre.get('type')!r}"
+
+
 class NativeBPE:
     """tokenizer.json-driven byte-level BPE with the C++ merge engine."""
 
@@ -216,6 +271,13 @@ class NativeBPE:
             )
         with open(tokenizer_json) as f:
             spec = json.load(f)
+        reason = _unsupported_spec(spec)
+        if reason is not None:
+            raise ValueError(
+                f"NativeBPE supports only GPT-2 ByteLevel pre-tokenization; "
+                f"{tokenizer_json} declares {reason}. Install transformers "
+                f"to use the HF tokenizer for this checkpoint."
+            )
         model = spec["model"]
         assert model.get("type", "BPE") == "BPE", "only BPE models supported"
         self.vocab: Dict[str, int] = dict(model["vocab"])
@@ -253,7 +315,6 @@ class NativeBPE:
             triples.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             np.int32(len(merges)),
         )
-        self._out_buf = np.empty(65536, dtype=np.int32)
 
     def __del__(self):
         if getattr(self, "_handle", None) and self._lib is not None:
@@ -264,16 +325,21 @@ class NativeBPE:
         ids: List[int] = []
         for pre in pretokenize_gpt2(span):
             raw = pre.encode("utf-8")
+            # per-call buffer: encode() is called from worker threads (e.g.
+            # tasks/eval.py's batch-ahead tokenization) — a shared buffer
+            # would interleave concurrent outputs. Merges only ever shrink
+            # the token count, so len(raw) slots always suffice.
+            out_buf = np.empty(max(1, len(raw)), dtype=np.int32)
             got = self._lib.bpe_encode(
                 self._handle,
                 (ctypes.c_uint8 * len(raw)).from_buffer_copy(raw),
                 np.int32(len(raw)),
-                self._out_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                np.int32(self._out_buf.size),
+                out_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                np.int32(out_buf.size),
             )
             if got < 0:
                 raise RuntimeError("bpe output buffer overflow")
-            ids.extend(int(i) for i in self._out_buf[:got])
+            ids.extend(int(i) for i in out_buf[:got])
         return ids
 
     def add_tokens(self, tokens: Sequence[str]) -> None:

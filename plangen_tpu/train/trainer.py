@@ -255,12 +255,17 @@ class Trainer:
             self.ckpt.save(max_steps, self.state, force=True)
         return last_metrics
 
-    def validate(self, step: int, params=None, max_len: int = 1) -> None:
+    def validate(self, step: int, params=None,
+                 max_len: Optional[int] = None) -> None:
         """Run the eval harness on the configured test workload (reference
-        validation cadence + `test_data` cfg, train.py:208-210)."""
+        validation cadence + `test_data` cfg, train.py:208-210). Layout
+        metrics (plan/mmu workloads) land in the training JSONL stream under
+        `val/` keys; size defaults to `train.val_max_len` batches."""
         from plangen_tpu.tasks.eval import run_validation
 
         td = self.cfg.train.test_data
+        if max_len is None:
+            max_len = self.cfg.train.val_max_len
         run_validation(
             self.cfg,
             task_type=td.task_type,
@@ -270,4 +275,7 @@ class Trainer:
             batch_size=td.batch_size,
             params=params if params is not None else self.state.params,
             global_step=step,
+            metrics_cb=lambda agg: self.logger.log(
+                step, {f"val/{k}": v for k, v in agg.items()}
+            ),
         )

@@ -178,3 +178,100 @@ class TestAdapterParity:
         nat = NativeBPEAdapter(fixture_dir, use_special_tokens=True, use_numhw=True)
         for t in ("<h0>", "<w0>", "<h57>", "<w99>"):
             assert nat.token_id(t) == hf.token_id(t)
+
+
+class TestSpecValidation:
+    """NativeBPE must REFUSE tokenizer.json specs whose pre-tokenization it
+    does not implement — silently encoding with the wrong splitter would
+    corrupt generation with no error (the transformers-unavailable path has
+    no parity check at runtime)."""
+
+    def _respec(self, trained, tmp_path, mutate):
+        _, path = trained
+        spec = json.loads(open(path).read())
+        mutate(spec)
+        out = tmp_path / "tokenizer.json"
+        out.write_text(json.dumps(spec))
+        return str(out)
+
+    def test_accepts_plain_bytelevel(self, trained):
+        _, path = trained
+        NativeBPE(path)  # the fixture's own spec
+
+    def test_accepts_split_plus_bytelevel(self, trained, tmp_path):
+        # the equivalent Sequence[Split(GPT-2), ByteLevel(use_regex=false)]
+        # spelling some HF exports use
+        from plangen_tpu.text.bpe_native import _GPT2_SPLIT_PATTERN
+
+        def mutate(spec):
+            spec["pre_tokenizer"] = {
+                "type": "Sequence",
+                "pretokenizers": [
+                    {
+                        "type": "Split",
+                        "pattern": {"Regex": _GPT2_SPLIT_PATTERN},
+                        "behavior": "Isolated",
+                        "invert": False,
+                    },
+                    {
+                        "type": "ByteLevel",
+                        "add_prefix_space": False,
+                        "trim_offsets": True,
+                        "use_regex": False,
+                    },
+                ],
+            }
+
+        nat = NativeBPE(self._respec(trained, tmp_path, mutate))
+        assert nat.encode("the quick fox") == NativeBPE(trained[1]).encode(
+            "the quick fox"
+        )
+
+    def test_rejects_digit_split_rule(self, trained, tmp_path):
+        # e.g. a Llama-3-style \p{N}{1,3} digit chunker — NOT GPT-2 splitting
+        def mutate(spec):
+            spec["pre_tokenizer"] = {
+                "type": "Sequence",
+                "pretokenizers": [
+                    {
+                        "type": "Split",
+                        "pattern": {"Regex": "\\p{N}{1,3}"},
+                        "behavior": "Isolated",
+                        "invert": False,
+                    },
+                    {"type": "ByteLevel", "add_prefix_space": False,
+                     "use_regex": False},
+                ],
+            }
+
+        with pytest.raises(ValueError, match="pre-tokenization"):
+            NativeBPE(self._respec(trained, tmp_path, mutate))
+
+    def test_rejects_normalizer(self, trained, tmp_path):
+        def mutate(spec):
+            spec["normalizer"] = {"type": "NFKC"}
+
+        with pytest.raises(ValueError, match="normalizer"):
+            NativeBPE(self._respec(trained, tmp_path, mutate))
+
+    def test_rejects_prefix_space(self, trained, tmp_path):
+        def mutate(spec):
+            spec["pre_tokenizer"]["add_prefix_space"] = True
+
+        with pytest.raises(ValueError, match="add_prefix_space"):
+            NativeBPE(self._respec(trained, tmp_path, mutate))
+
+
+class TestThreadSafety:
+    def test_concurrent_encode(self, trained):
+        """encode() runs on worker threads (tasks/eval.py batch-ahead
+        tokenization); interleaved calls must not share output buffers."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        hf_tok, path = trained
+        nat = NativeBPE(path)
+        texts = [SAMPLES[i % len(SAMPLES)] for i in range(64)]
+        expect = [hf_tok.encode(t).ids for t in texts]
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            got = list(ex.map(nat.encode, texts))
+        assert got == expect

@@ -202,3 +202,82 @@ def _tiny_png():
     buf = io.BytesIO()
     Image.new("RGB", (TINY.vision.image_size,) * 2).save(buf, format="PNG")
     return base64.b64encode(buf.getvalue()).decode()
+
+
+class TestServeNewSurface:
+    """Round-3 API additions: parallel_size, MMU question, seed echo,
+    submit-time validation (VERDICT r2 items 4; ADVICE r2 seeds)."""
+
+    def test_parallel_size_returns_ps_images(self, server):
+        base, _ = server
+        code, out = post(base, "/generate", {
+            "caption": "a cat", "grounding": G, "parallel_size": 2, "seed": 7,
+        })
+        assert code == 200
+        assert len(out["images_b64"]) == 2
+        assert out["image_b64"] == out["images_b64"][0]
+        assert out["seed"] == 7
+        # distinct samples from one prompt (fold_in of the copy index)
+        assert out["images_b64"][0] != out["images_b64"][1]
+
+    def test_parallel_size_rows_match_direct_pipeline(self, server):
+        """Served ps>1 must return THIS request's copies (copy-major rows),
+        not a neighbor's — regression for the row-indexing contract."""
+        base, batcher = server
+        code, out = post(base, "/generate", {
+            "caption": "row check", "grounding": G,
+            "parallel_size": 2, "seed": 11,
+        })
+        assert code == 200
+        direct = batcher.pipe.layout_to_image(
+            ["row check"], [G], seeds=[11], parallel_size=2
+        )
+        got = [np.asarray(bytearray(base64.b64decode(b)))
+               for b in out["images_b64"]]
+        import io as _io
+
+        from PIL import Image
+
+        for c in range(2):
+            img = Image.open(_io.BytesIO(base64.b64decode(out["images_b64"][c])))
+            np.testing.assert_array_equal(
+                np.asarray(img),
+                np.clip((direct.images[c] + 1.0) * 127.5, 0, 255).astype(np.uint8),
+            )
+
+    def test_seed_echoed_for_seedless(self, server):
+        base, _ = server
+        code, out = post(base, "/generate", {"caption": "x", "grounding": G})
+        assert code == 200
+        echoed = out["seed"]
+        # resubmitting the echoed seed reproduces the tokens exactly
+        code2, out2 = post(
+            base, "/generate",
+            {"caption": "x", "grounding": G, "seed": echoed},
+        )
+        assert code2 == 200
+        assert out2["tokens"] == out["tokens"]
+
+    def test_oversized_seed_rejected_as_400(self, server):
+        base, _ = server
+        code, out = post(base, "/generate", {
+            "caption": "x", "grounding": G, "seed": 2 ** 40,
+        })
+        assert code == 400
+        assert "seed" in out["error"]
+
+    def test_bad_parallel_size_rejected_as_400(self, server):
+        base, _ = server
+        code, out = post(base, "/generate", {
+            "caption": "x", "grounding": G, "parallel_size": 0,
+        })
+        assert code == 400
+
+    def test_understand_custom_question(self, server):
+        base, _ = server
+        code, out = post(base, "/understand", {
+            "image_b64": _tiny_png(),
+            "question": "How many objects are there?",
+        })
+        assert code == 200
+        assert "grounding" in out
