@@ -226,6 +226,12 @@ class GenerationConfig:
     quantize: Optional[str] = None  # 'int8' = int8 weights + int8 KV cache;
     # 'int4' = packed-int4 weights (Pallas kernel) + int8 KV cache;
     # 'int4_a8' = int4 weights + int8 activations (s8 MXU dots) + int8 KV
+    # s8 x s8 MXU dots in decode-step attention over the int8 KV cache
+    # (quantized query/probability rows). With an int8 cache the decode
+    # matvecs are MXU-rate-bound, not HBM-bound, and the int8 MXU mode
+    # streams at twice the bf16 rate (DESIGN.md §8 int8-KV gap). Requires
+    # `quantize` set; adds ~0.4% row-relative rounding error (opt-in).
+    kv_a8: bool = False
     fast_edit: bool = False  # prefill frozen runs during teacher-forced editing
     # segmented growing KV cache: ~23% faster decode at B=32, token streams
     # matched the fixed buffer in every test and on-chip run

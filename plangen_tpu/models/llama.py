@@ -169,8 +169,10 @@ def _layer(
     attn_mask: Optional[jax.Array] = None,  # [B, S_max] (chunked/paged paths)
     paged: bool = False,  # Pallas prefix kernel: DMA only the live cache chunks
     seg_write: Optional[int] = None,  # segmented cache: segment being written
+    kv_a8: bool = False,  # s8 x s8 MXU decode attention over the int8 cache
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     B, Q, _ = x.shape
+    a8 = kv_a8 and Q == 1  # decode steps only: prefill is already MXU-efficient
     xin = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
     q = (qmatmul(xin, p["q_proj"]) + _lora_delta(lora, "q_proj", xin)).reshape(
         B, Q, cfg.num_heads, cfg.head_dim
@@ -236,7 +238,7 @@ def _layer(
                 else:
                     seg_kv.append((sl(s["k"]), sl(s["v"])))
             # fall through to the shared o_proj/MLP tail at the end
-            attn = segmented_decode_attention(q, seg_kv, bias)
+            attn = segmented_decode_attention(q, seg_kv, bias, a8=a8 and quantized)
             new_cache = {"segs": segs}
         elif "k_scale" in cache_dict:
             from plangen_tpu.ops.attention import (
@@ -263,6 +265,7 @@ def _layer(
                 sl(cache_dict["v"]),
                 sl(cache_dict["v_scale"]),
                 bias=bias,
+                a8=a8,
             )
             new_cache = cache_dict
         else:
@@ -345,6 +348,9 @@ def forward(
     use_flash: bool = False,  # Pallas flash attention for the no-cache path
     chunked: bool = False,  # cached decode reads only the valid cache prefix
     paged: bool = False,  # Pallas prefix-DMA decode attention
+    kv_a8: bool = False,  # s8 x s8 MXU dots in decode-step attention over the
+    # int8 KV cache (quantized query/probability rows; opt-in, see
+    # ops.attention.dot_product_attention_q8)
     seg_write: Optional[int] = None,  # segmented cache: active segment (static);
     # requires explicit `write_at` = offset WITHIN that segment
     layers_limit: Optional[int] = None,  # early exit after the first K layers
@@ -448,6 +454,7 @@ def forward(
                 layer_p, cfg, x, bias, cos, sin, (cache, l), write_at,
                 lora=with_scale(lora_slice), chunked=chunked,
                 attn_mask=attn_mask, paged=paged, seg_write=seg_write,
+                kv_a8=kv_a8,
             )
             return x, cache
 

@@ -115,11 +115,24 @@ def chunked_decode_attention(
     return out[:, None].astype(q.dtype)  # [B, 1, H, D]
 
 
+def _quantize_rows_s8(x: jax.Array) -> tuple:
+    """Symmetric per-row (last axis) int8 quantization, fp32 scales.
+
+    Used by the a8 decode-attention paths to quantize the query and the
+    (scale-folded) probability rows so both attention matmuls run as
+    s8 x s8 -> s32 on the MXU. Returns (q8, scale[..., 1])."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q8 = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return q8, s.astype(jnp.float32)
+
+
 def segmented_decode_attention(
     q: jax.Array,  # [B, Q, H, D]
     segs: list,  # [(k, v) or (k_q8, k_scale, v_q8, v_scale)] per segment
     biases: list,  # [B, 1|H, Q, s_i] additive bias per segment
     scale: Optional[float] = None,
+    a8: bool = False,  # s8 x s8 MXU dots over int8 segments (see *_q8 a8 doc)
 ) -> jax.Array:
     """Attention over a KV cache split into static segments.
 
@@ -137,6 +150,10 @@ def segmented_decode_attention(
     B, Q, H, D = q.shape
     if scale is None:
         scale = D ** -0.5
+    if a8:
+        # one query quantization shared by every segment's s8 logits matmul
+        q_q8, q_s = _quantize_rows_s8(q.astype(jnp.float32))  # q_s [B,Q,H,1]
+        q_s_bhq1 = q_s.transpose(0, 2, 1, 3)  # [B,H,Q,1]
     partials = []
     for seg, bias in zip(segs, biases):
         quantized = len(seg) == 4
@@ -153,10 +170,16 @@ def segmented_decode_attention(
             if quantized:
                 k_scale = jnp.repeat(k_scale, rep, axis=2)
                 v_scale = jnp.repeat(v_scale, rep, axis=2)
-        logits = jnp.einsum(
-            "bqhd,bshd->bhqs", q, k.astype(q.dtype),
-            preferred_element_type=jnp.float32,
-        )
+        if quantized and a8:
+            logits = jnp.einsum(
+                "bqhd,bshd->bhqs", q_q8, k,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * q_s_bhq1
+        else:
+            logits = jnp.einsum(
+                "bqhd,bshd->bhqs", q, k.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            )
         if quantized:
             logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, :]
         logits = logits * scale + bias.astype(jnp.float32)
@@ -165,10 +188,17 @@ def segmented_decode_attention(
         l = jnp.sum(p, axis=-1, keepdims=True)
         if quantized:
             p = p * v_scale.transpose(0, 2, 1)[:, :, None, :]
-        o = jnp.einsum(
-            "bhqs,bshd->bhqd", p.astype(q.dtype), v.astype(q.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.float32)
+        if quantized and a8:
+            p_q8, p_s = _quantize_rows_s8(p)  # over S; p_s [B,H,Q,1]
+            o = jnp.einsum(
+                "bhqs,bshd->bhqd", p_q8, v,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * p_s
+        else:
+            o = jnp.einsum(
+                "bhqs,bshd->bhqd", p.astype(q.dtype), v.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float32)
         partials.append((m, l, o))
 
     m_all = partials[0][0]
@@ -192,6 +222,7 @@ def dot_product_attention_q8(
     v_scale: jax.Array,  # [B, S, Hkv] fp32
     bias: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    a8: bool = False,
 ) -> jax.Array:
     """Attention over an int8-quantized KV cache (per-position/head scales).
 
@@ -199,6 +230,14 @@ def dot_product_attention_q8(
     tensors: logits = (q . k_q8) * k_scale, out = (probs * v_scale) . v_q8 —
     the int8->bf16 converts fuse into the matmuls, so HBM only ever reads the
     int8 cache (half the decode-loop KV traffic).
+
+    `a8=True` additionally quantizes the QUERY rows (per head, over D) and the
+    scale-folded PROBABILITY rows (per head, over S) to int8, so both matmuls
+    run as s8 x s8 -> s32 on the MXU. Why: with an int8 cache the decode
+    matvec stream (M=1) is MXU-rate-bound, not HBM-bound — the measured
+    ~2.5 ms/step gap of DESIGN.md §8 — and the int8 MXU mode streams at twice
+    the bf16 rate. Adds ~0.4% row-relative rounding error on top of the KV
+    quantization (opt-in, like the W4A8 weight path).
     """
     B, Q, H, D = q.shape
     _, S, Hkv, _ = k_q8.shape
@@ -210,21 +249,34 @@ def dot_product_attention_q8(
         v_q8 = jnp.repeat(v_q8, rep, axis=2)
         k_scale = jnp.repeat(k_scale, rep, axis=2)
         v_scale = jnp.repeat(v_scale, rep, axis=2)
-    logits = jnp.einsum(
-        "bqhd,bshd->bhqs", q, k_q8.astype(q.dtype), preferred_element_type=jnp.float32
-    )
+    if a8:
+        q_q8, q_s = _quantize_rows_s8(q.astype(jnp.float32))  # q_s [B,Q,H,1]
+        logits = jnp.einsum(
+            "bqhd,bshd->bhqs", q_q8, k_q8, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * q_s.transpose(0, 2, 1, 3)
+    else:
+        logits = jnp.einsum(
+            "bqhd,bshd->bhqs", q, k_q8.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
     logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, :]  # [B,H,1,S]
     logits = logits * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, :]
-    out = jnp.einsum(
-        "bhqs,bshd->bqhd",
-        probs.astype(q.dtype),
-        v_q8.astype(q.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    if a8:
+        p_q8, p_s = _quantize_rows_s8(probs)  # over S; p_s [B,H,Q,1]
+        out = jnp.einsum(
+            "bhqs,bshd->bqhd", p_q8, v_q8, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * p_s.transpose(0, 2, 1, 3)
+    else:
+        out = jnp.einsum(
+            "bhqs,bshd->bqhd",
+            probs.astype(q.dtype),
+            v_q8.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
     return out.astype(q.dtype)
 
 

@@ -72,7 +72,7 @@ class ImageGenResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "num_tokens", "quantized_cache", "chunked", "paged",
-        "growing_cache",
+        "growing_cache", "kv_a8",
     ),
     donate_argnames=(),
 )
@@ -92,6 +92,7 @@ def generate_image_tokens(
     chunked: bool = False,  # decode attention reads only the valid cache prefix
     paged: bool = False,  # Pallas prefix-DMA decode attention (True=v2, "v3")
     growing_cache: bool = False,  # phased cache growth (banks dead reads in XLA)
+    kv_a8: bool = False,  # s8 x s8 MXU decode attention over the int8 cache
 ) -> ImageGenResult:
     """Fused CFG image-token generation: prefill + 576-step scan in one program.
 
@@ -159,6 +160,7 @@ def generate_image_tokens(
                 kv_cache=cache,
                 chunked=chunked,
                 paged=paged,
+                kv_a8=kv_a8,
                 **seg_kwargs,
             )
             return (hidden[:, -1], new_cache, key), token

@@ -307,6 +307,7 @@ class PlanGenPipeline:
                 temperature=jnp.float32(self.gen.temperature),
                 quantized_cache=(self.gen.quantize in ("int8", "int4", "int4_a8")),
                 growing_cache=self.gen.growing_cache,
+                kv_a8=self.gen.kv_a8,
                 gt_tokens=gt_tokens,
                 regen_mask=regen,
                 num_tokens=n_img,
