@@ -75,9 +75,20 @@ class DeepSeekTemplate:
     def mmu_prompt(self, question: str, answer: str, image_tag: str) -> str:
         """Understanding prompt: `<image_placeholder>\\n{question}` user turn.
 
+        Unlike the uni/t2i wrappers (which pass system_prompt="",
+        plangen_base.py:224,247), the mmu path goes through the processor's
+        `process_one`, which renders with the processor's DEFAULT system
+        prompt (processing_vlm.py:292-295 -> system_prompt class attribute at
+        :127-132) — so the system message is part of every MMU prompt.
+        Found by token-diffing against the actual reference via
+        tools/capture_reference.py.
+
         Reference: wrap_mmu_prompt / mmu_collate, plangen_base.py:263-291,819-840.
         """
-        return self.render(
+        sys_tpl = self if self.system_message else DeepSeekTemplate(
+            sep=self.sep, sep2=self.sep2, system_message=MMU_SYSTEM_PROMPT
+        )
+        return sys_tpl.render(
             [Message(USER, f"{image_tag}\n{question}"), Message(ASSISTANT, answer)]
         )
 
@@ -86,3 +97,9 @@ MMU_QUESTION = (
     "Please describe this image and then give the description and bounding box "
     "of each object in the image."
 )  # reference: plangen_base.py:823
+
+MMU_SYSTEM_PROMPT = (
+    "You are a helpful language and vision assistant. "
+    "You are able to understand the visual content that the user provides, "
+    "and assist the user with a variety of tasks using natural language."
+)  # reference: VLChatProcessor.system_prompt, processing_vlm.py:127-132

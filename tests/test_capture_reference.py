@@ -1,0 +1,110 @@
+"""Cross-implementation parity: OUR framework vs the ACTUAL torch reference.
+
+tools/capture_reference.py imports /root/reference's `System` (with import
+shims for its missing deps) and captures golden token dumps for the pinned
+parity inputs; tools/golden_parity.py then compares our outputs against them.
+On a shared tiny random checkpoint every deterministic mode must be
+TOKEN-EXACT across the two implementations:
+
+  plan — reference HF `generate` greedy vs our fused KV-cached greedy scan
+  mmu  — torch SigLIP + embed splice + greedy vs our NHWC scan stack
+  edit/rm — torch VQ encode + teacher-forced CFG loop vs our jitted loop
+
+The capture runs in a SUBPROCESS because the reference shims patch
+sys.modules and torch globals (reference_shims.py) — they must not leak into
+this process. This test found a real parity bug on first run: the reference's
+MMU prompts include VLChatProcessor's default system prompt (process_one,
+processing_vlm.py:292-295) while the uni/t2i wrappers pass system_prompt=""
+— our templates now mirror that split (text/chat_template.py).
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+
+from plangen_tpu.config import PlanGenModelConfig
+
+from test_convert import synth_state_dict  # noqa: E402
+from test_golden_parity import make_tokenizer_fixture  # noqa: E402
+
+REFERENCE = Path("/root/reference")
+REPO = Path(__file__).parent.parent
+
+pytestmark = pytest.mark.skipif(
+    not (REFERENCE / "project/plangen/plangen_base.py").exists(),
+    reason="torch reference checkout not available",
+)
+
+
+def make_random_fixture(path: Path, cfg: PlanGenModelConfig, seed=0) -> Path:
+    """Tiny checkpoint loadable by BOTH implementations: HF-named random
+    safetensors + tokenizer + the reference-side HF config files."""
+    from safetensors.numpy import save_file
+
+    from capture_reference import write_reference_configs
+
+    path.mkdir(parents=True, exist_ok=True)
+    sd = synth_state_dict(cfg)
+    rs = np.random.RandomState(seed)
+    sd = {k: rs.randn(*np.shape(v)).astype(np.float32) * 0.05 for k, v in sd.items()}
+    for k in list(sd):
+        if "norm" in k and k.endswith("weight") and sd[k].ndim == 1:
+            sd[k] = np.ones_like(sd[k])
+    save_file(sd, str(path / "model.safetensors"))
+    make_tokenizer_fixture(path)
+    write_reference_configs(path, cfg)
+    return path
+
+
+class TestCrossImplementationParity:
+    @pytest.fixture(scope="class")
+    def goldens(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("janus_xtiny")
+        make_random_fixture(d, PlanGenModelConfig.tiny())
+        out = tmp_path_factory.mktemp("goldens_ref")
+        proc = subprocess.run(
+            [
+                sys.executable, str(REPO / "tools/capture_reference.py"),
+                "--janus-path", str(d), "--tiny", "--out", str(out),
+                "--modes", "plan,mmu,edit,rm,uni",
+                "--max-new-text-tokens", "6",
+            ],
+            capture_output=True, text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return d, out
+
+    def test_all_deterministic_modes_token_exact(self, goldens, tmp_path):
+        import golden_parity
+
+        ckpt, golden_dir = goldens
+        report_path = tmp_path / "report.json"
+        rc = golden_parity.main([
+            "--janus-path", str(ckpt),
+            "--cfg", str(REPO / "configs/toy_smoke.py"),
+            "--max-new-text-tokens", "6",
+            "--golden", str(golden_dir),
+            "--out", str(report_path),
+        ])
+        report = {r["mode"]: r for r in json.loads(report_path.read_text())}
+        assert rc == 0
+        for mode in ("plan", "mmu", "edit", "rm"):
+            assert report[mode]["status"] == "match", (mode, report[mode])
+        # sampled mode is compared by logit injection, not RNG replication
+        assert report["uni"]["status"] == "logit_injection"
+        assert 0.0 < report["uni"]["mean_prob_of_injected"] <= 1.0
+
+    def test_golden_files_complete(self, goldens):
+        _, golden_dir = goldens
+        for mode in ("plan", "mmu", "edit", "rm", "uni"):
+            rec = json.loads((golden_dir / f"{mode}.json").read_text())
+            assert rec["mode"] == mode
+            assert rec["tokens"] and all(
+                isinstance(t, int) for t in rec["tokens"][0]
+            )

@@ -48,6 +48,10 @@ def make_tokenizer_fixture(path: Path) -> int:
         bos_token=BOS_TEXT,
         eos_token=EOS_TEXT,
         pad_token=PAD_TEXT,
+        # the real Janus tokenizer defines <unk>; without it here,
+        # LlamaTokenizerFast (the class VLChatProcessor forces) would inject
+        # its default <unk> on load and shift every added-token id by one
+        unk_token="<unk>",
     )
     fast.add_special_tokens(
         {

@@ -64,29 +64,43 @@ def main():
     )
     k_q8, k_s, v_q8, v_s = jax.jit(quantize_kv)(k, v)
 
-    def chain(attn_fn):
+    # NOTE: the caches are jit ARGUMENTS — closure-captured arrays get baked
+    # into the remote-compile request body under axon (HTTP 413, CLAUDE.md)
+
+    def chain(attn_fn, n_ops):
         # chain the output back into the query so steps serialize; renormalize
         # to keep magnitudes stable over the loop
-        def body(i, q):
-            out = attn_fn(q)  # [B2, 1, H, D]
-            n = jnp.sqrt(jnp.mean(out.astype(jnp.float32) ** 2) + 1e-6)
-            return (out.astype(jnp.float32) / n).astype(jnp.bfloat16)
+        def run(q, *ops):
+            def body(i, q):
+                out = attn_fn(q, *ops)  # [B2, 1, H, D]
+                n = jnp.sqrt(jnp.mean(out.astype(jnp.float32) ** 2) + 1e-6)
+                return (out.astype(jnp.float32) / n).astype(jnp.bfloat16)
 
-        return jax.jit(lambda q: jax.lax.fori_loop(0, steps, body, q))
+            return jax.lax.fori_loop(0, steps, body, q)
+
+        return jax.jit(run)
 
     variants = {
-        "bf16": chain(lambda q: dot_product_attention(q, k, v, bias=bias)),
-        "q8": chain(
-            lambda q: dot_product_attention_q8(q, k_q8, k_s, v_q8, v_s, bias=bias)
+        "bf16": (
+            chain(lambda q, k, v: dot_product_attention(q, k, v, bias=bias), 2),
+            (k, v),
         ),
-        "q8a8": chain(
-            lambda q: dot_product_attention_q8(
-                q, k_q8, k_s, v_q8, v_s, bias=bias, a8=True
-            )
+        "q8": (
+            chain(
+                lambda q, *o: dot_product_attention_q8(q, *o, bias=bias), 4
+            ),
+            (k_q8, k_s, v_q8, v_s),
+        ),
+        "q8a8": (
+            chain(
+                lambda q, *o: dot_product_attention_q8(q, *o, bias=bias, a8=True),
+                4,
+            ),
+            (k_q8, k_s, v_q8, v_s),
         ),
     }
 
-    def floor_fn(q):
+    def floor_fn(q, k_q8, v_q8):
         # xor-reduce over a slice whose start depends on the loop index, so
         # XLA cannot hoist the (otherwise loop-invariant) reduction out of the
         # loop; reads (S-1)/S of the cache bytes each step
@@ -104,20 +118,20 @@ def main():
         acc, qf = jax.lax.fori_loop(0, steps, body, (jnp.int8(0), q))
         return qf
 
-    variants["floor_int8_read"] = jax.jit(floor_fn)
+    variants["floor_int8_read"] = (jax.jit(floor_fn), (k_q8, v_q8))
 
     kv_bytes_int8 = 2 * B2 * S * H * D  # K+V int8
     results = {}
-    for name, fn in variants.items():
+    for name, (fn, ops) in variants.items():
         t0 = time.time()
-        out = fn(q0)
+        out = fn(q0, *ops)
         np.asarray(out)
         compile_s = time.time() - t0
         # timed runs (program cached now)
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            np.asarray(fn(q0))
+            np.asarray(fn(q0, *ops))
             best = min(best, time.time() - t0)
         per_step_us = best / steps * 1e6
         bw = kv_bytes_int8 / (best / steps) / 1e9

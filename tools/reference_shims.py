@@ -54,7 +54,14 @@ class _Inert:
 
 def _inert_module(name: str) -> types.ModuleType:
     mod = types.ModuleType(name)
-    mod.__getattr__ = lambda item, _n=name: _Inert(f"{_n}.{item}")  # type: ignore
+
+    def getattr_(item, _n=name):
+        if item.startswith("__") and item.endswith("__"):
+            # introspection (inspect/getmodule) must see a normal module
+            raise AttributeError(item)
+        return _Inert(f"{_n}.{item}")
+
+    mod.__getattr__ = getattr_  # type: ignore
     return mod
 
 
@@ -170,24 +177,47 @@ def _build_torchvision():
     def make_grid(t, *a, **k):
         return t
 
+    def crop(img, top, left, height, width):
+        if isinstance(img, Image.Image):
+            return img.crop((left, top, left + width, top + height))
+        return img[..., top:top + height, left:left + width]
+
     functional.resize = resize_tensor
     functional.pil_to_tensor = pil_to_tensor
     functional.to_tensor = ToTensor()
+    functional.crop = crop
     functional.InterpolationMode = InterpolationMode
+    # dataset-only symbols resolve to inert stubs (dunders stay module-like)
+    def _fallback(prefix):
+        def getattr_(item):
+            if item.startswith("__") and item.endswith("__"):
+                raise AttributeError(item)
+            return _Inert(f"{prefix}.{item}")
+
+        return getattr_
+
+    functional.__getattr__ = _fallback("torchvision.transforms.functional")  # type: ignore
+    transforms.__getattr__ = _fallback("torchvision.transforms")  # type: ignore
     for cls in (ToTensor, ToPILImage, Normalize, Resize, CenterCrop, Compose,
                 InterpolationMode):
         setattr(transforms, cls.__name__, cls)
     transforms.functional = functional
     utils.make_grid = make_grid
+    datasets = _inert_module("torchvision.datasets")
     tv.transforms = transforms
     tv.utils = utils
+    tv.datasets = datasets
     tv.__version__ = "0.0-stub"
-    return {
+    mods = {
         "torchvision": tv,
         "torchvision.transforms": transforms,
         "torchvision.transforms.functional": functional,
         "torchvision.utils": utils,
+        "torchvision.datasets": datasets,
     }
+    for m in mods.values():
+        m.__path__ = []  # present as packages so `import a.b` resolves
+    return mods
 
 
 def _build_timm():
@@ -361,12 +391,15 @@ def _build_timm():
     timm.layers = layers
     timm.models = models
     models._manipulate = manipulate
-    return {
+    mods = {
         "timm": timm,
         "timm.layers": layers,
         "timm.models": models,
         "timm.models._manipulate": manipulate,
     }
+    for m in mods.values():
+        m.__path__ = []
+    return mods
 
 
 def _build_attrdict():
@@ -398,7 +431,7 @@ def _build_misc():
         "diffusers", "diffusers.optimization", "diffusers.training_utils",
         "diffusers.utils", "diffusers.utils.torch_utils", "diffusers.models",
         "diffusers.models.attention", "diffusers.models.attention_processor",
-        "wandb", "kornia", "fire",
+        "wandb", "kornia", "fire", "albumentations",
         "pycocotools", "pycocotools.coco", "pycocotools.mask",
     ]:
         out[name] = _inert_module(name)
@@ -446,10 +479,18 @@ def install_stubs(reference_root: str) -> None:
     and its vendored Janus to sys.path, and pre-register the broken
     `src.utils.seg_palette` module (missing from the release,
     base_system.py:41 — SURVEY.md 'reference defects')."""
+    import importlib.machinery
+
     stubs: Dict[str, types.ModuleType] = {}
     for builder in (_build_torchvision, _build_timm, _build_attrdict, _build_misc):
         stubs.update(builder())
     for name, mod in stubs.items():
+        if getattr(mod, "__spec__", None) is None:
+            # transformers probes deps via importlib.util.find_spec, which
+            # raises on registered modules whose __spec__ is None
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        if not hasattr(mod, "__path__"):
+            mod.__path__ = []  # package-like: `import stub.sub` resolves
         sys.modules.setdefault(name, mod)
 
     for p in (reference_root, f"{reference_root}/three_party/Janus"):
@@ -471,13 +512,11 @@ def cpu_patches() -> None:
     if torch.cuda.is_available():
         return
 
-    _gen = torch.Generator
-
-    def generator(device="cpu"):
-        return _gen(device="cpu")
-
-    torch.Generator = generator  # type: ignore
-
+    # NOTE: torch.Generator is left untouched — replacing it breaks torch's
+    # own `torch.Generator | None` annotations. The reference's only
+    # Generator(device='cuda') site is t2i (plangen_base.py:526), which the
+    # capture driver bypasses (it seeds its own CPU generator and calls
+    # sample_image directly).
     torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore
     torch.nn.Module.cuda = lambda self, *a, **k: self  # type: ignore
     torch.cuda.empty_cache = lambda: None  # type: ignore
