@@ -375,6 +375,14 @@ class PlanGenConfig:
 
 
 def _parse_value(text: str) -> Any:
+    # lowercase true/false/none would otherwise literal-eval-fail and survive
+    # as TRUTHY strings — `--opt generation.jacobi=false` silently enabling
+    # the flag is exactly the misconfig this guards against
+    low = text.strip().lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("none", "null"):
+        return None
     try:
         return ast.literal_eval(text)
     except (ValueError, SyntaxError):

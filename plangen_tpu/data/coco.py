@@ -87,7 +87,9 @@ class COCOValDataset:
         image_dir: str,
         image_hw: int = 384,
         neg_prompt: str = "",
+        textual: bool = True,
     ):
+        self.textual = textual
         self.coco = _open_coco(ann_file)
         self.coco_caption = _open_coco(caption_file)
         self.image_dir = image_dir
@@ -128,8 +130,10 @@ class COCOValDataset:
         return Sample(
             image=image,
             base_caption=caption,
-            prompt=serialize_grounding(caption, boxes10, classes10, valid),
-            gt_grounding=serialize_grounding("", boxes10, classes10, valid),
+            prompt=serialize_grounding(caption, boxes10, classes10, valid,
+                                       textual=self.textual),
+            gt_grounding=serialize_grounding("", boxes10, classes10, valid,
+                                            textual=self.textual),
             neg_base_caption=self.neg_prompt,
             neg_prompt=self.neg_prompt,
             edit_region=np.zeros((576,), dtype=np.int64),
@@ -151,7 +155,9 @@ def _load_image_ts(path: str, hw: Optional[int] = None) -> np.ndarray:
 class EditCoco200:
     """Layout-guided editing eval set (200 samples from coco_200_path)."""
 
-    def __init__(self, root: str, neg_prompt: str = "", pad_edit_box: float = 0.1):
+    def __init__(self, root: str, neg_prompt: str = "", pad_edit_box: float = 0.1,
+                 textual: bool = True):
+        self.textual = textual
         if not os.path.isdir(root):
             raise FileNotFoundError(f"coco_200 edit data not found at {root}")
         self.root = root
@@ -180,8 +186,10 @@ class EditCoco200:
         return Sample(
             image=image,
             base_caption="",
-            prompt=serialize_grounding("", boxes10, classes10, valid),
-            gt_grounding=serialize_grounding("", boxes10, classes10, valid),
+            prompt=serialize_grounding("", boxes10, classes10, valid,
+                                       textual=self.textual),
+            gt_grounding=serialize_grounding("", boxes10, classes10, valid,
+                                            textual=self.textual),
             neg_base_caption=self.neg_prompt,
             neg_prompt=self.neg_prompt,
             edit_region=edit_region,
@@ -193,7 +201,8 @@ class RmCoco200:
     """Object-removal eval set: empty target layout, clutter-word negative
     grounding at the removed box, mask-driven edit region."""
 
-    def __init__(self, root: str, neg_prompt: str = ""):
+    def __init__(self, root: str, neg_prompt: str = "", textual: bool = True):
+        self.textual = textual
         if not os.path.isdir(root):
             raise FileNotFoundError(f"coco_200 rm data not found at {root}")
         self.root = root
@@ -218,13 +227,15 @@ class RmCoco200:
         zero_box = np.zeros_like(old_box)
         boxes10, classes10, valid = pad_layout_slots(zero_box, [""])
         neg_grounding = serialize_grounding(
-            "", old_box, [RM_NEG_CLASS], [True]
+            "", old_box, [RM_NEG_CLASS], [True], textual=self.textual
         )
         return Sample(
             image=image,
             base_caption="",
-            prompt=serialize_grounding("", boxes10, classes10, valid),
-            gt_grounding=serialize_grounding("", boxes10, classes10, valid),
+            prompt=serialize_grounding("", boxes10, classes10, valid,
+                                       textual=self.textual),
+            gt_grounding=serialize_grounding("", boxes10, classes10, valid,
+                                            textual=self.textual),
             neg_base_caption=self.neg_prompt,
             neg_prompt=self.neg_prompt,
             neg_gt_grounding=neg_grounding,

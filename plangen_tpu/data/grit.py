@@ -57,7 +57,9 @@ class GritSceneGraphDataset:
         # SSD-style IoU-constrained square crop instead of the center crop
         # (debug_grit.py:56,445 use_MinIoURandomCrop)
         use_min_iou_crop: bool = False,
+        textual: bool = True,
     ):
+        self.textual = textual
         if not os.path.exists(grit_json):
             raise FileNotFoundError(f"GRiT json not found at {grit_json}")
         with open(grit_json) as f:
@@ -167,8 +169,10 @@ class GritSceneGraphDataset:
         return Sample(
             image=img_f,
             base_caption=caption,
-            prompt=serialize_grounding(caption, boxes10, classes10, valid),
-            gt_grounding=serialize_grounding("", boxes10, classes10, valid),
+            prompt=serialize_grounding(caption, boxes10, classes10, valid,
+                                       textual=self.textual),
+            gt_grounding=serialize_grounding("", boxes10, classes10, valid,
+                                            textual=self.textual),
             neg_base_caption=self.neg_prompt,
             neg_prompt=self.neg_prompt,
             edit_region=np.zeros((576,), dtype=np.int64),
@@ -179,7 +183,8 @@ class GritSceneGraphDataset:
 class Grit7kDataset:
     """GRiT-7k layout eval set (text + boxes, no images needed)."""
 
-    def __init__(self, json_path: str, neg_prompt: str = ""):
+    def __init__(self, json_path: str, neg_prompt: str = "", textual: bool = True):
+        self.textual = textual
         if not os.path.exists(json_path):
             raise FileNotFoundError(f"7k json not found at {json_path}")
         with open(json_path) as f:
@@ -207,8 +212,10 @@ class Grit7kDataset:
         return Sample(
             image=None,
             base_caption=caption,
-            prompt=serialize_grounding(caption, boxes10, classes10, valid),
-            gt_grounding=serialize_grounding("", boxes10, classes10, valid),
+            prompt=serialize_grounding(caption, boxes10, classes10, valid,
+                                       textual=self.textual),
+            gt_grounding=serialize_grounding("", boxes10, classes10, valid,
+                                            textual=self.textual),
             neg_base_caption=self.neg_prompt,
             neg_prompt=self.neg_prompt,
             edit_region=np.zeros((576,), dtype=np.int64),
@@ -244,7 +251,9 @@ def _parse_center_grounding(text: str) -> Tuple[List[str], np.ndarray]:
 class EditSpecDataset:
     """Grounding-string-driven editing specs (edit.json variant)."""
 
-    def __init__(self, json_path: str, neg_prompt: str = "", pad_edit_box: float = 0.0):
+    def __init__(self, json_path: str, neg_prompt: str = "", pad_edit_box: float = 0.0,
+                 textual: bool = True):
+        self.textual = textual
         if not os.path.exists(json_path):
             raise FileNotFoundError(f"edit json not found at {json_path}")
         with open(json_path) as f:
@@ -270,15 +279,18 @@ class EditSpecDataset:
         boxes10, classes10, valid = pad_layout_slots(boxes, classes)
         caption = d.get("base_caption", "")
         neg_grounding = (
-            serialize_grounding("", neg_boxes, neg_classes, [True] * len(neg_classes))
+            serialize_grounding("", neg_boxes, neg_classes,
+                                [True] * len(neg_classes), textual=self.textual)
             if len(neg_classes)
             else ""
         )
         return Sample(
             image=image,
             base_caption=caption,
-            prompt=serialize_grounding(caption, boxes10, classes10, valid),
-            gt_grounding=serialize_grounding("", boxes10, classes10, valid),
+            prompt=serialize_grounding(caption, boxes10, classes10, valid,
+                                       textual=self.textual),
+            gt_grounding=serialize_grounding("", boxes10, classes10, valid,
+                                            textual=self.textual),
             neg_base_caption=self.neg_prompt,
             neg_prompt=self.neg_prompt,
             neg_gt_grounding=neg_grounding,

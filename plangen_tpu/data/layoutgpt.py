@@ -27,7 +27,8 @@ def _load_json(path):
         return json.load(f)
 
 
-def _make_sample(caption: str, boxes_xyxy, classes, neg_prompt: str) -> Sample:
+def _make_sample(caption: str, boxes_xyxy, classes, neg_prompt: str,
+                 textual: bool = True) -> Sample:
     boxes10, classes10, valid = pad_layout_slots(
         np.clip(np.asarray(boxes_xyxy, dtype=np.float32).reshape(-1, 4), 0, 1),
         classes,
@@ -35,8 +36,10 @@ def _make_sample(caption: str, boxes_xyxy, classes, neg_prompt: str) -> Sample:
     return Sample(
         image=None,
         base_caption=caption,
-        prompt=serialize_grounding(caption, boxes10, classes10, valid),
-        gt_grounding=serialize_grounding("", boxes10, classes10, valid),
+        prompt=serialize_grounding(caption, boxes10, classes10, valid,
+                                   textual=textual),
+        gt_grounding=serialize_grounding("", boxes10, classes10, valid,
+                                         textual=textual),
         neg_base_caption=neg_prompt,
         neg_prompt=neg_prompt,
         edit_region=np.zeros((576,), dtype=np.int64),
@@ -46,7 +49,9 @@ def _make_sample(caption: str, boxes_xyxy, classes, neg_prompt: str) -> Sample:
 class NSR1KLayoutDataset:
     """LayoutGPT NSR-1K counting + spatial layouts (train data for 'plan')."""
 
-    def __init__(self, root: str, neg_prompt: str = "", spatial_oversample: int = 10):
+    def __init__(self, root: str, neg_prompt: str = "", spatial_oversample: int = 10,
+                 textual: bool = True):
+        self.textual = textual
         if not os.path.isdir(root):
             raise FileNotFoundError(f"NSR-1K data not found at {root}")
         counting = []
@@ -88,13 +93,16 @@ class NSR1KLayoutDataset:
 
     def __getitem__(self, i: int) -> Sample:
         it = self.items[i]
-        return _make_sample(it["caption"], it["boxes"], it["classes"], self.neg_prompt)
+        return _make_sample(it["caption"], it["boxes"], it["classes"],
+                            self.neg_prompt, textual=self.textual)
 
 
 class PlanEvalDataset:
     """Pre-generated LLM layout plans for scoring (Dataset_plan)."""
 
-    def __init__(self, plan_json: str, caps_jsonl: str, neg_prompt: str = ""):
+    def __init__(self, plan_json: str, caps_jsonl: str, neg_prompt: str = "",
+                 textual: bool = True):
+        self.textual = textual
         if not os.path.exists(plan_json):
             raise FileNotFoundError(f"plan json not found at {plan_json}")
         self.datas = _load_json(plan_json)
@@ -112,4 +120,5 @@ class PlanEvalDataset:
         classes = d["obj_class"]
         if len(boxes) > 10:
             boxes, classes = boxes[:10], classes[:10]
-        return _make_sample(self.caps[i], boxes, classes, self.neg_prompt)
+        return _make_sample(self.caps[i], boxes, classes, self.neg_prompt,
+                            textual=self.textual)

@@ -67,7 +67,9 @@ class LayoutSAMEval:
         limit: Optional[int] = None,
         neg_prompt: str = "",
         use_detail_captions: bool = True,
+        textual: bool = True,
     ):
+        self.textual = textual
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f"LayoutSAM-eval not found at {path}; download "
@@ -101,8 +103,10 @@ class LayoutSAMEval:
 
         boxes10, classes10, valid = pad_layout_slots(boxes, caps)
         caption = item["global_caption"]
-        prompt = serialize_grounding(caption, boxes10, classes10, valid)
-        gt_grounding = serialize_grounding("", boxes10, classes10, valid)
+        prompt = serialize_grounding(caption, boxes10, classes10, valid,
+                                     textual=self.textual)
+        gt_grounding = serialize_grounding("", boxes10, classes10, valid,
+                                          textual=self.textual)
         return Sample(
             image=img,
             base_caption=caption,
@@ -137,7 +141,9 @@ class LayoutSAMTrain:
         image_hw: int = 384,
         neg_prompt: str = "",
         image_root: str = "",
+        textual: bool = True,
     ):
+        self.textual = textual
         if not os.path.exists(path):
             raise FileNotFoundError(f"LayoutSAM not found at {path}")
         from datasets import load_dataset
@@ -198,8 +204,10 @@ class LayoutSAMTrain:
         return Sample(
             image=to_model_range(img),
             base_caption=caption,
-            prompt=serialize_grounding(caption, boxes10, classes10, valid),
-            gt_grounding=serialize_grounding("", boxes10, classes10, valid),
+            prompt=serialize_grounding(caption, boxes10, classes10, valid,
+                                       textual=self.textual),
+            gt_grounding=serialize_grounding("", boxes10, classes10, valid,
+                                            textual=self.textual),
             neg_base_caption=self.neg_prompt,
             neg_prompt=self.neg_prompt,
             edit_region=np.zeros((576,), dtype=np.int64),

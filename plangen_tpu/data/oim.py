@@ -35,7 +35,9 @@ class OpenImagesDataset:
         caption_dir: Optional[str] = None,
         image_hw: int = 384,
         neg_prompt: str = "",
+        textual: bool = True,
     ):
+        self.textual = textual
         import pandas as pd
 
         ann_names = {
@@ -100,8 +102,10 @@ class OpenImagesDataset:
         return Sample(
             image=to_model_range(img),
             base_caption=caption,
-            prompt=serialize_grounding(caption, boxes10, classes10, valid),
-            gt_grounding=serialize_grounding("", boxes10, classes10, valid),
+            prompt=serialize_grounding(caption, boxes10, classes10, valid,
+                                       textual=self.textual),
+            gt_grounding=serialize_grounding("", boxes10, classes10, valid,
+                                            textual=self.textual),
             neg_base_caption=self.neg_prompt,
             neg_prompt=self.neg_prompt,
             edit_region=np.zeros((576,), dtype=np.int64),

@@ -39,7 +39,9 @@ class ConcatDataset:
 def _toy(cfg: PlanGenConfig, is_test: bool):
     from plangen_tpu.data.toy import ToyDataset
 
-    return ToyDataset(size=100, image_hw=cfg.janus_hw, neg_prompt=cfg.generation.neg_prompt)
+    return ToyDataset(size=100, image_hw=cfg.janus_hw,
+                      neg_prompt=cfg.generation.neg_prompt,
+                      textual=cfg.use_textual)
 
 
 def _layoutsam_eval(cfg, is_test, limit=None):
@@ -47,7 +49,8 @@ def _layoutsam_eval(cfg, is_test, limit=None):
 
     path = getattr(cfg, "layoutsam_eval_path", None) or ""
     return LayoutSAMEval(
-        path, image_hw=cfg.janus_hw, limit=limit, neg_prompt=cfg.generation.neg_prompt
+        path, image_hw=cfg.janus_hw, limit=limit,
+        neg_prompt=cfg.generation.neg_prompt, textual=cfg.use_textual
     )
 
 
@@ -62,6 +65,7 @@ def _layoutsam_train(cfg, is_test):
         image_hw=cfg.janus_hw,
         neg_prompt=cfg.generation.neg_prompt,
         image_root=getattr(cfg, "layoutsam_image_root", "") or "",
+        textual=cfg.use_textual,
     )
 
 
@@ -75,6 +79,7 @@ def _coco(cfg, is_test):
         image_dir=f"{root}/val2017",
         image_hw=cfg.janus_hw,
         neg_prompt=cfg.generation.neg_prompt,
+        textual=cfg.use_textual,
     )
 
 
@@ -85,6 +90,7 @@ def _edit_coco(cfg, is_test):
         getattr(cfg, "coco_200_path", None) or "",
         neg_prompt=cfg.generation.neg_prompt,
         pad_edit_box=cfg.generation.pad_edit_box,
+        textual=cfg.use_textual,
     )
 
 
@@ -94,6 +100,7 @@ def _rm_coco(cfg, is_test):
     return RmCoco200(
         getattr(cfg, "coco_200_path", None) or "",
         neg_prompt=cfg.generation.neg_prompt,
+        textual=cfg.use_textual,
     )
 
 
@@ -103,6 +110,7 @@ def _layout(cfg, is_test):
     return NSR1KLayoutDataset(
         getattr(cfg, "nsr1k_path", None) or "",
         neg_prompt=cfg.generation.neg_prompt,
+        textual=cfg.use_textual,
     )
 
 
@@ -115,6 +123,7 @@ def _oim(cfg, is_test):
         caption_dir=getattr(cfg, "oim_caption_dir", None),
         image_hw=cfg.janus_hw,
         neg_prompt=cfg.generation.neg_prompt,
+        textual=cfg.use_textual,
     )
 
 
@@ -134,6 +143,7 @@ def _grit(cfg, is_test, flip=False):
         use_min_iou_crop=(
             False if is_test else getattr(cfg, "grit_min_iou_crop", False)
         ),
+        textual=cfg.use_textual,
     )
 
 
@@ -143,6 +153,7 @@ def _grit7k(cfg, is_test):
     return Grit7kDataset(
         getattr(cfg, "grit7k_json", None) or "",
         neg_prompt=cfg.generation.neg_prompt,
+        textual=cfg.use_textual,
     )
 
 
@@ -153,6 +164,7 @@ def _edit_spec(cfg, is_test):
         getattr(cfg, "edit_json", None) or "",
         neg_prompt=cfg.generation.neg_prompt,
         pad_edit_box=cfg.generation.pad_edit_box,
+        textual=cfg.use_textual,
     )
 
 
@@ -163,6 +175,7 @@ def _plan_eval(cfg, is_test):
         getattr(cfg, "plan_json", None) or "",
         getattr(cfg, "plan_caps_jsonl", None) or "",
         neg_prompt=cfg.generation.neg_prompt,
+        textual=cfg.use_textual,
     )
 
 

@@ -15,10 +15,12 @@ from plangen_tpu.text.grounding import serialize_grounding
 
 
 class ToyDataset:
-    def __init__(self, size: int = 100, image_hw: int = 384, neg_prompt: str = ""):
+    def __init__(self, size: int = 100, image_hw: int = 384, neg_prompt: str = "",
+                 textual: bool = True):
         self.size = size
         self.hw = image_hw
         self.neg_prompt = neg_prompt
+        self.textual = textual
         self.boxes = [(0.1, 0.15, 0.45, 0.8), (0.55, 0.3, 0.9, 0.75)]
         self.classes = ["a red rectangle", "a blue rectangle"]
         self.caption = "two colored rectangles on a white background"
@@ -37,8 +39,12 @@ class ToyDataset:
         return self.size
 
     def __getitem__(self, idx: int) -> Sample:
-        prompt = serialize_grounding(self.caption, self.boxes, self.classes)
-        gt_grounding = serialize_grounding("", self.boxes, self.classes)
+        prompt = serialize_grounding(
+            self.caption, self.boxes, self.classes, textual=self.textual
+        )
+        gt_grounding = serialize_grounding(
+            "", self.boxes, self.classes, textual=self.textual
+        )
         return Sample(
             image=self._image.copy(),
             base_caption=self.caption,

@@ -155,15 +155,18 @@ def run_validation(
                 break
             samples, out = got
             _save_batch_artifacts(
-                out, samples, task_type, path, batch_path, b, batch_size
+                out, samples, task_type, path, batch_path, b, batch_size,
+                textual=cfg.use_textual,
             )
             if task_type in ("plan", "mmu"):
                 # layout metrics: predicted grounding vs GT grounding
                 from plangen_tpu.tasks.metrics import layout_metrics
 
                 for s, pr in zip(samples, out["pr_grounding"]):
-                    gt_b, _ = parse_grounding(s.gt_grounding)
-                    pr_b, _ = parse_grounding(pr or "")
+                    gt_b, _ = parse_grounding(s.gt_grounding,
+                                              textual=cfg.use_textual)
+                    pr_b, _ = parse_grounding(pr or "",
+                                              textual=cfg.use_textual)
                     per_sample_metrics.append(layout_metrics(pr_b, gt_b))
             results.append(out)
     finally:
@@ -220,7 +223,8 @@ def _run_batch(pipe: PlanGenPipeline, cfg, task_type: str, samples: List[Sample]
     return {"pr_grounding": groundings, "pr_image": out.images}
 
 
-def _save_batch_artifacts(out, samples, task_type, path, batch_path, b, batch_size):
+def _save_batch_artifacts(out, samples, task_type, path, batch_path, b,
+                          batch_size, textual=True):
     data = {
         "base_caption": [s.base_caption for s in samples],
         "gt_grounding": [s.gt_grounding for s in samples],
@@ -245,6 +249,7 @@ def _save_batch_artifacts(out, samples, task_type, path, batch_path, b, batch_si
                 save_image(
                     s.image, os.path.join(path, "gt_image_ids", f"{s.image_id}.jpg")
                 )
-        boxes, labels = parse_grounding(out["pr_grounding"][i] or "")
+        boxes, labels = parse_grounding(out["pr_grounding"][i] or "",
+                                        textual=textual)
         vis.append(draw_layout(pr, boxes, labels))
     save_image_grid(vis, os.path.join(batch_path, f"{b}.png"))

@@ -15,6 +15,16 @@ class TestLoadConfig:
         cfg = load_config(None, ["generation.cfg_weight=7.5", "janus_hw=384"])
         assert cfg.generation.cfg_weight == 7.5
 
+    def test_lowercase_booleans_parse_as_bool(self):
+        # "false" must not survive as a truthy string (silent misconfig)
+        cfg = load_config(
+            None, ["use_textual=false", "generation.jacobi=true"]
+        )
+        assert cfg.use_textual is False
+        assert cfg.generation.jacobi is True
+        cfg = load_config(None, ["params_path=none"])
+        assert cfg.params_path is None
+
     def test_flow_dict_normalization(self):
         cfg = load_config(
             None,

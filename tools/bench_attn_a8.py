@@ -53,85 +53,76 @@ def main():
 
     B2, S, H, D = args.b2, args.s, args.heads, args.dim
     steps = args.steps
-    key = jax.random.PRNGKey(0)
-    kk, kv, kq = jax.random.split(key, 3)
-    k = jax.random.normal(kk, (B2, S, H, D), dtype=jnp.bfloat16)
-    v = jax.random.normal(kv, (B2, S, H, D), dtype=jnp.bfloat16)
-    q0 = jax.random.normal(kq, (B2, 1, H, D), dtype=jnp.bfloat16)
     pad_mask = jnp.ones((B2, S), dtype=jnp.int32)
     bias = make_causal_bias(
         pad_mask, jnp.array([S - 1], jnp.int32), jnp.arange(S, dtype=jnp.int32)
     )
-    k_q8, k_s, v_q8, v_s = jax.jit(quantize_kv)(k, v)
 
-    # NOTE: the caches are jit ARGUMENTS — closure-captured arrays get baked
-    # into the remote-compile request body under axon (HTTP 413, CLAUDE.md)
+    # The caches are BUILT INSIDE each jitted program (from a tiny key arg):
+    # passing them as jit arguments pins the host row-major [B,S,H,D] layout
+    # and XLA then materializes a per-step transpose for the (b,h)-batched
+    # matmuls (~3x traffic, measured); created in-program, XLA picks the
+    # layout exactly as in the real decode loop, where the cache lives in
+    # the fori_loop carry. One-time generation amortizes over `steps`.
 
-    def chain(attn_fn, n_ops):
-        # chain the output back into the query so steps serialize; renormalize
-        # to keep magnitudes stable over the loop
-        def run(q, *ops):
+    def make_run(mode):
+        def run(key):
+            kk, kv, kq = jax.random.split(key, 3)
+            k = jax.random.normal(kk, (B2, S, H, D), dtype=jnp.bfloat16)
+            v = jax.random.normal(kv, (B2, S, H, D), dtype=jnp.bfloat16)
+            q0 = jax.random.normal(kq, (B2, 1, H, D), dtype=jnp.bfloat16)
+            if mode == "bf16":
+                ops = (k, v)
+                attn = lambda q: dot_product_attention(q, *ops, bias=bias)
+            elif mode in ("q8", "q8a8"):
+                ops = quantize_kv(k, v)
+                attn = lambda q: dot_product_attention_q8(
+                    q, *ops, bias=bias, a8=(mode == "q8a8")
+                )
+            elif mode == "floor_int8_read":
+                k_q8, _, v_q8, _ = quantize_kv(k, v)
+
+                def body(i, carry):
+                    acc, q = carry
+                    # two STATIC slices alternated by parity: loop-variant
+                    # (no hoisting) without a dynamic-slice copy
+                    def red(x):
+                        return jax.lax.reduce(
+                            x, jnp.int8(0), jax.lax.bitwise_xor, (0, 1, 2, 3)
+                        )
+
+                    acc = acc ^ jax.lax.cond(
+                        i % 2 == 0,
+                        lambda: red(k_q8[:, : S - 1]) ^ red(v_q8[:, : S - 1]),
+                        lambda: red(k_q8[:, 1:]) ^ red(v_q8[:, 1:]),
+                    )
+                    return acc, q + acc.astype(jnp.bfloat16)
+
+                acc, qf = jax.lax.fori_loop(0, steps, body, (jnp.int8(0), q0))
+                return qf
+
             def body(i, q):
-                out = attn_fn(q, *ops)  # [B2, 1, H, D]
+                out = attn(q)  # [B2, 1, H, D]
                 n = jnp.sqrt(jnp.mean(out.astype(jnp.float32) ** 2) + 1e-6)
                 return (out.astype(jnp.float32) / n).astype(jnp.bfloat16)
 
-            return jax.lax.fori_loop(0, steps, body, q)
+            return jax.lax.fori_loop(0, steps, body, q0)
 
         return jax.jit(run)
 
-    variants = {
-        "bf16": (
-            chain(lambda q, k, v: dot_product_attention(q, k, v, bias=bias), 2),
-            (k, v),
-        ),
-        "q8": (
-            chain(
-                lambda q, *o: dot_product_attention_q8(q, *o, bias=bias), 4
-            ),
-            (k_q8, k_s, v_q8, v_s),
-        ),
-        "q8a8": (
-            chain(
-                lambda q, *o: dot_product_attention_q8(q, *o, bias=bias, a8=True),
-                4,
-            ),
-            (k_q8, k_s, v_q8, v_s),
-        ),
-    }
-
-    def floor_fn(q, k_q8, v_q8):
-        # xor-reduce over a slice whose start depends on the loop index, so
-        # XLA cannot hoist the (otherwise loop-invariant) reduction out of the
-        # loop; reads (S-1)/S of the cache bytes each step
-        def body(i, carry):
-            acc, q = carry
-            ks = jax.lax.dynamic_slice_in_dim(k_q8, i % 2, S - 1, axis=1)
-            vs = jax.lax.dynamic_slice_in_dim(v_q8, i % 2, S - 1, axis=1)
-            acc = (
-                acc
-                ^ jax.lax.reduce(ks, jnp.int8(0), jax.lax.bitwise_xor, (0, 1, 2, 3))
-                ^ jax.lax.reduce(vs, jnp.int8(0), jax.lax.bitwise_xor, (0, 1, 2, 3))
-            )
-            return acc, q + acc.astype(jnp.bfloat16)
-
-        acc, qf = jax.lax.fori_loop(0, steps, body, (jnp.int8(0), q))
-        return qf
-
-    variants["floor_int8_read"] = (jax.jit(floor_fn), (k_q8, v_q8))
-
+    key = jax.random.PRNGKey(0)
     kv_bytes_int8 = 2 * B2 * S * H * D  # K+V int8
     results = {}
-    for name, (fn, ops) in variants.items():
+    for name in ("bf16", "q8", "q8a8", "floor_int8_read"):
+        fn = make_run(name)
         t0 = time.time()
-        out = fn(q0, *ops)
-        np.asarray(out)
+        np.asarray(fn(key))
         compile_s = time.time() - t0
         # timed runs (program cached now)
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            np.asarray(fn(q0, *ops))
+            np.asarray(fn(key))
             best = min(best, time.time() - t0)
         per_step_us = best / steps * 1e6
         bw = kv_bytes_int8 / (best / steps) / 1e9
