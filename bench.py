@@ -24,6 +24,14 @@ is available.
 Env knobs: BENCH_BATCH (default 32), BENCH_PROMPT_LEN (64), BENCH_REPEATS
 (3), BENCH_INT8 / BENCH_INT8_KV / BENCH_INT4 (quantized serving paths), BENCH_FAST=1
 (headline metric only — skip the B=1 / MMU programs).
+
+BENCH_SWEEP=1 runs the full quantization x batch matrix
+({bf16, int8 kv, int8 w+kv, int4, int4_a8} x {1, 32, 64}) and writes one row
+per config — tok/s, s/step, and % of the DESIGN.md §1 HBM floor — to
+BENCH_SWEEP.json (committed, so every published number is a machine-readable
+artifact). The default run attaches the committed sweep under "sweep" so the
+driver's BENCH_r{N}.json carries the whole matrix without paying its compile
+cost every round. BENCH_HBM_GBPS overrides the 819 GB/s v5e roofline.
 """
 
 from __future__ import annotations
@@ -47,6 +55,160 @@ def _best(fn, repeats):
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[0], times[len(times) // 2]  # (best, p50)
+
+
+def _growing_avg_live(L, n_img, num_phases=4):
+    """Average live KV slots per decode step under the segmented cache
+    (mirrors runtime/generate._generate_growing's 128-aligned segment ends)."""
+    cap = -(-(L + n_img) // 128) * 128
+    ends = sorted({
+        min(cap, -(-(L + (p + 1) * n_img // num_phases) // 128) * 128)
+        for p in range(num_phases)
+    })
+    total = 0
+    prev = L
+    for e in ends:
+        hi = min(e, L + n_img)
+        steps = max(0, hi - prev)
+        total += steps * e
+        prev = max(prev, hi)
+    return total / n_img
+
+
+def _hbm_floor_s_per_step(cfg, B, weight_mode, kv_int8, growing, L):
+    """DESIGN.md §1: decode is HBM-bound; floor = (weights + KV)/bandwidth.
+
+    Weight bytes = every matmul operand the image-decode step reads (layer
+    q/k/v/o/gate/up/down + gen_head); KV bytes = average live slots x CFG
+    dual batch x heads x dim x (K+V), int8 cache halves them (+ fp32 scales).
+    Activations/embeddings are negligible at these shapes.
+    """
+    lm = cfg.llama
+    h, qd, kvd, inter = lm.hidden_size, lm.q_dim, lm.kv_dim, lm.intermediate_size
+    layer_params = h * qd + 2 * h * kvd + qd * h + 2 * h * inter + inter * h
+    gen_head = h * cfg.image_token_embed + cfg.image_token_embed * cfg.image_token_size
+    n_weights = lm.num_layers * layer_params + gen_head
+    wbytes = {"bf16": 2.0, "int8": 1.0, "int4": 0.5, "int4_a8": 0.5}[weight_mode]
+    weight_bytes = n_weights * wbytes
+
+    n_img = cfg.image_seq_len
+    live = _growing_avg_live(L, n_img) if growing else float(L + n_img)
+    # K+V across every layer's cache, read in full each step
+    kv_elems = 2 * lm.num_layers * (2 * B) * live * lm.num_kv_heads * lm.head_dim
+    if kv_int8:
+        kv_bytes = kv_elems * (1.0 + 4.0 / lm.head_dim)  # int8 + fp32 scales
+    else:
+        kv_bytes = kv_elems * 2.0
+    bw = float(os.environ.get("BENCH_HBM_GBPS", "819")) * 1e9
+    return (weight_bytes + kv_bytes) / bw
+
+
+SWEEP_CONFIGS = [
+    # (name, weight quant mode, int8 kv cache)
+    ("bf16", None, False),
+    ("int8_kv", None, True),
+    ("int8_w_kv", "int8", True),
+    ("int4", "int4", True),
+    ("int4_a8", "int4_a8", True),
+]
+SWEEP_BATCHES = (1, 32, 64)
+
+
+def sweep() -> None:
+    """Quantization x batch matrix with roofline columns -> BENCH_SWEEP.json."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plangen_tpu.config import PlanGenModelConfig
+    from plangen_tpu.models import vlm
+    from plangen_tpu.ops.quant import quantize_lm_params, quantize_lm_params_int4
+    from plangen_tpu.runtime.generate import generate_image_tokens
+
+    L = int(os.environ.get("BENCH_PROMPT_LEN", "64"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    growing = os.environ.get("BENCH_GROWING", "1") == "1"
+    cfg = PlanGenModelConfig()
+    n_img = cfg.image_seq_len
+    key = jax.random.PRNGKey(0)
+    rows = []
+    out_path = Path(__file__).parent / "BENCH_SWEEP.json"
+
+    for name, wmode, kv_int8 in SWEEP_CONFIGS:
+        if wmode in ("int4", "int4_a8"):
+            params = jax.jit(
+                lambda k, a8=(wmode == "int4_a8"): quantize_lm_params_int4(
+                    vlm.init(k, cfg, dtype=jnp.bfloat16), act_int8=a8
+                )
+            )(key)
+        elif wmode == "int8":
+            params = jax.jit(
+                lambda k: quantize_lm_params(vlm.init(k, cfg, dtype=jnp.bfloat16))
+            )(key)
+        else:
+            params = jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16))(key)
+
+        for B in SWEEP_BATCHES:
+            embeds = jax.random.normal(
+                jax.random.PRNGKey(1), (2 * B, L, cfg.llama.hidden_size),
+                dtype=jnp.bfloat16,
+            )
+            mask = jnp.ones((2 * B, L + n_img), dtype=jnp.int32)
+
+            def run(seed):
+                out = generate_image_tokens(
+                    params, cfg, embeds, mask,
+                    rng=jax.random.PRNGKey(seed),
+                    cfg_weight=jnp.float32(5.0),
+                    temperature=jnp.float32(1.0),
+                    num_tokens=n_img,
+                    quantized_cache=kv_int8,
+                    growing_cache=growing,
+                )
+                return np.asarray(out.tokens)
+
+            try:
+                run(0)  # compile
+            except Exception as e:
+                rows.append({"config": name, "batch": B,
+                             "error": f"{type(e).__name__}"})
+                sys.stderr.write(f"sweep {name} B={B}: {type(e).__name__}\n")
+                continue
+            best, _ = _best(run, repeats)
+            s_step = best / n_img
+            floor = _hbm_floor_s_per_step(
+                cfg, B, wmode or "bf16", kv_int8, growing, L
+            )
+            rows.append({
+                "config": name,
+                "batch": B,
+                "tokens_per_sec": round(B * n_img / best, 2),
+                "s_per_step": round(s_step, 6),
+                "s_per_batch": round(best, 3),
+                "hbm_floor_s_per_step": round(floor, 6),
+                "pct_of_hbm_floor": round(100.0 * floor / s_step, 1),
+            })
+            sys.stderr.write(json.dumps(rows[-1]) + "\n")
+            # checkpoint after every row: a crash keeps partial results
+            out_path.write_text(json.dumps({
+                "note": (
+                    "quantization x batch decode matrix on one v5e chip; "
+                    "pct_of_hbm_floor = (weights+KV bytes)/819GB/s vs measured "
+                    "s/step (DESIGN.md section 1 roofline)"
+                ),
+                "prompt_len": L,
+                "growing_cache": growing,
+                "device": jax.devices()[0].platform,
+                "rows": rows,
+            }, indent=1))
+
+    print(json.dumps({"sweep_rows": len(rows), "out": str(out_path)}))
 
 
 def main() -> None:
@@ -232,23 +394,48 @@ def main() -> None:
             "unit": "tokens/s",
         })
 
-    print(
-        json.dumps(
-            {
-                "metric": "image-tokens/sec/chip (576-tok 384px gen, CFG dual batch)",
-                "value": round(tokens_per_sec, 2),
-                "unit": "tokens/s",
-                "vs_baseline": round(tokens_per_sec / REF_TOKENS_PER_SEC, 2),
-                "vs_baseline_note": (
-                    "ESTIMATE: reference publishes no numbers; 34 tok/s is a "
-                    "B=1 RTX-3090 estimate (see bench.py docstring), and the "
-                    "headline value is B=32 batch throughput"
-                ),
-                "extra_metrics": extra,
-            }
-        )
+    # roofline for the headline config itself
+    wmode = "bf16"
+    if os.environ.get("BENCH_INT4") == "1":
+        wmode = "int4"
+    elif os.environ.get("BENCH_INT4_A8") == "1":
+        wmode = "int4_a8"
+    elif os.environ.get("BENCH_INT8") == "1":
+        wmode = "int8"
+    floor = _hbm_floor_s_per_step(
+        cfg, B, wmode, quantized_cache,
+        os.environ.get("BENCH_GROWING", "1") == "1", L,
     )
+    s_step = best / n_img
+
+    record = {
+        "metric": "image-tokens/sec/chip (576-tok 384px gen, CFG dual batch)",
+        "value": round(tokens_per_sec, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_sec / REF_TOKENS_PER_SEC, 2),
+        "vs_baseline_note": (
+            "ESTIMATE: reference publishes no numbers; 34 tok/s is a "
+            "B=1 RTX-3090 estimate (see bench.py docstring), and the "
+            "headline value is B=32 batch throughput"
+        ),
+        "s_per_step": round(s_step, 6),
+        "hbm_floor_s_per_step": round(floor, 6),
+        "pct_of_hbm_floor": round(100.0 * floor / s_step, 1),
+        "extra_metrics": extra,
+    }
+    # attach the committed quantization x batch sweep (BENCH_SWEEP=1 refreshes
+    # it) so the driver's BENCH_r{N}.json carries the full measured matrix
+    sweep_path = Path(__file__).parent / "BENCH_SWEEP.json"
+    if sweep_path.exists():
+        try:
+            record["sweep"] = json.loads(sweep_path.read_text())
+        except Exception:
+            pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_SWEEP") == "1":
+        sweep()
+    else:
+        main()

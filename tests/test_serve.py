@@ -281,3 +281,49 @@ class TestServeNewSurface:
         })
         assert code == 200
         assert "grounding" in out
+
+
+class TestServeUnderLoad:
+    """Open-loop Poisson load (tools/bench_serve.py harness) against the tiny
+    server: every request must complete without error and the batcher must
+    actually batch (fewer batches than requests)."""
+
+    def test_poisson_plan_load(self, server):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+        from bench_serve import run_load
+
+        base, batcher = server
+        before = dict(batcher.stats)
+        rec = run_load(base, "plan", rps=12.0, duration=4.0,
+                       hw=TINY.vision.image_size)
+        assert rec["errors"] == 0, rec
+        assert rec["completed"] == rec["sent"] > 10
+        assert rec["latency_s"]["p95"] is not None
+        did_batches = batcher.stats["batches"] - before["batches"]
+        did_requests = batcher.stats["requests"] - before["requests"]
+        assert did_requests >= rec["sent"]
+        assert did_batches < did_requests  # microbatching engaged
+
+    def test_poisson_mixed_generate_plan(self, server):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+        from bench_serve import run_load
+
+        base, _ = server
+        out = {}
+
+        def load(mode, rps):
+            out[mode] = run_load(base, mode, rps=rps, duration=3.0,
+                                 hw=TINY.vision.image_size)
+
+        t1 = threading.Thread(target=load, args=("plan", 6.0))
+        t2 = threading.Thread(target=load, args=("generate", 4.0))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        for mode, rec in out.items():
+            assert rec["errors"] == 0, (mode, rec)
+            assert rec["completed"] == rec["sent"] > 0
