@@ -227,10 +227,11 @@ class GenerationConfig:
     # 'int4' = packed-int4 weights (Pallas kernel) + int8 KV cache;
     # 'int4_a8' = int4 weights + int8 activations (s8 MXU dots) + int8 KV
     # s8 x s8 MXU dots in decode-step attention over the int8 KV cache
-    # (quantized query/probability rows). With an int8 cache the decode
-    # matvecs are MXU-rate-bound, not HBM-bound, and the int8 MXU mode
-    # streams at twice the bf16 rate (DESIGN.md §8 int8-KV gap). Requires
-    # `quantize` set; adds ~0.4% row-relative rounding error (opt-in).
+    # (quantized query/probability rows). MEASURED SLOWER and kept flag-off
+    # with exactness tests: decode attention at M=1 is MXU element-rate
+    # bound, int8 operands stream at ~the bf16 rate, and the attention
+    # einsum's int8 operand re-layouts dominate (DESIGN.md §8, closed by
+    # tools/bench_mxu_stream.py). Requires `quantize` set.
     kv_a8: bool = False
     fast_edit: bool = False  # prefill frozen runs during teacher-forced editing
     # segmented growing KV cache: ~23% faster decode at B=32, token streams
