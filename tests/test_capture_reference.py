@@ -72,7 +72,7 @@ class TestCrossImplementationParity:
             [
                 sys.executable, str(REPO / "tools/capture_reference.py"),
                 "--janus-path", str(d), "--tiny", "--out", str(out),
-                "--modes", "plan,mmu,edit,rm,uni",
+                "--modes", "plan,mmu,edit,rm,uni,losses",
                 "--max-new-text-tokens", "6",
             ],
             capture_output=True, text=True, timeout=900,
@@ -90,6 +90,7 @@ class TestCrossImplementationParity:
             "--cfg", str(REPO / "configs/toy_smoke.py"),
             "--max-new-text-tokens", "6",
             "--golden", str(golden_dir),
+            "--modes", "plan,mmu,edit,rm,uni,losses",
             "--out", str(report_path),
         ])
         report = {r["mode"]: r for r in json.loads(report_path.read_text())}
@@ -99,6 +100,12 @@ class TestCrossImplementationParity:
         # sampled mode is compared by logit injection, not RNG replication
         assert report["uni"]["status"] == "logit_injection"
         assert 0.0 < report["uni"]["mean_prob_of_injected"] <= 1.0
+        # training numerics: per-flow losses within fp32 cross-framework
+        # tolerance (loss_mmu informational on the tiny vocab — see mmu_note)
+        losses = report["losses"]
+        assert losses["status"] == "match", losses
+        for k in ("loss_uni_t2i", "loss_uni_lm", "loss_plan_lm"):
+            assert losses["rel_diffs"][k] < 2e-3, (k, losses)
 
     def test_golden_files_complete(self, goldens):
         _, golden_dir = goldens

@@ -420,6 +420,45 @@ def capture_teacher_forced(system, mode: str, image_hw: int) -> Dict[str, Any]:
     return rec
 
 
+def capture_losses(system, image_hw: int) -> Dict[str, Any]:
+    """Training-loss parity: the reference's per-flow losses on a pinned
+    batch (forward_uni / forward_plan / forward_mmu,
+    plangen_base.py:843-978). Extends the parity protocol from inference
+    tokens to training numerics."""
+    import torch
+
+    system.args.use_teacher_forcing = False
+    system.args.use_neg_box = False
+    system.args.use_local_edit_loss = False
+    prompt = f"{PINNED_UNI_CAPTION} {PINNED_UNI_GROUNDING}"
+    img = torch.tensor(pinned_image(image_hw, seed=1)).permute(0, 3, 1, 2)
+    raw = [{
+        "prompt": prompt,
+        "base_caption": PINNED_UNI_CAPTION,
+        "gt_grounding": PINNED_UNI_GROUNDING,
+        "image": img[0].contiguous(),
+    }]
+    batch = system.mmu_collate(raw)
+    losses: Dict[str, float] = {}
+    with torch.no_grad():
+        for fn in (system.forward_uni, system.forward_plan, system.forward_mmu):
+            for k, v in fn(batch).items():
+                losses[k] = float(v)
+    return {
+        "mode": "losses",
+        "caption": PINNED_UNI_CAPTION,
+        "grounding": PINNED_UNI_GROUNDING,
+        "prompt": prompt,
+        "losses": losses,
+        "mmu_note": (
+            "the reference masks image-placeholder LABELS by the hardcoded "
+            "full-vocab id 100581 (plangen_base.py:859); on a tiny-vocab "
+            "fixture that remap is a no-op, so loss_mmu legitimately "
+            "diverges there — it matches on the real vocabulary"
+        ),
+    }
+
+
 def capture_uni(system, image_hw: int) -> Dict[str, Any]:
     system.args.use_teacher_forcing = False
     system.args.use_neg_box = False
@@ -444,7 +483,7 @@ def main(argv=None) -> int:
     ap.add_argument("--finetune", default=None,
                     help="trainable_model_parameters.pth overlay")
     ap.add_argument("--out", required=True, help="golden dump dir")
-    ap.add_argument("--modes", default="plan,mmu,edit,rm,uni")
+    ap.add_argument("--modes", default="plan,mmu,edit,rm,uni,losses")
     ap.add_argument("--max-new-text-tokens", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cfg-weight", type=float, default=5.0)
@@ -511,6 +550,7 @@ def main(argv=None) -> int:
         "edit": lambda: capture_teacher_forced(system, "edit", image_hw),
         "rm": lambda: capture_teacher_forced(system, "rm", image_hw),
         "uni": lambda: capture_uni(system, image_hw),
+        "losses": lambda: capture_losses(system, image_hw),
     }
     os.makedirs(args.out, exist_ok=True)
     for mode in args.modes.split(","):

@@ -278,6 +278,68 @@ def run_uni(pipe, golden: Optional[dict]) -> Dict[str, Any]:
     return rec
 
 
+def run_losses(pipe, golden: Optional[dict]) -> Dict[str, Any]:
+    """Training-loss parity (reference forward_uni/forward_plan/forward_mmu):
+    our per-flow losses on the same pinned batch, compared within fp32
+    cross-framework tolerance. `loss_mmu` is compared informationally on a
+    tiny-vocab fixture (see capture_reference.capture_losses mmu_note)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plangen_tpu.train.loss import mmu_loss, plan_loss, uni_loss
+
+    g = golden or {}
+    caption = g.get("caption", PINNED_UNI_CAPTION)
+    grounding = g.get("grounding", PINNED_UNI_GROUNDING)
+    prompt = g.get("prompt", f"{caption} {grounding}")
+    size = pipe.cfg.vision.image_size
+    images = jnp.asarray(pinned_image(size, seed=1), dtype=jnp.float32)
+    pad_id = pipe.proc.tok.special.pad_id
+
+    ids, mask = pipe.proc.uni_batch([caption], [grounding])
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    ours: Dict[str, float] = {}
+    for k, v in uni_loss(pipe.params, pipe.cfg, ids, mask, images, pad_id).items():
+        ours[k] = float(v)
+    # plan: the reference reuses the uni ids + the image-extended mask
+    # (forward_mmu(is_plan=True), plangen_base.py:847-851)
+    L = ids.shape[1]
+    for k, v in plan_loss(
+        pipe.params, pipe.cfg, ids, mask[:, :L], pad_id
+    ).items():
+        ours[k] = float(v)
+    mb = pipe.proc.mmu_batch(1, answers=[prompt])
+    for k, v in mmu_loss(
+        pipe.params, pipe.cfg,
+        jnp.asarray(mb.input_ids), jnp.asarray(mb.attn_mask),
+        images, jnp.asarray(mb.images_seq_mask), pad_id,
+    ).items():
+        ours[k] = float(v)
+
+    rec: Dict[str, Any] = {
+        "mode": "losses",
+        "caption": caption,
+        "grounding": grounding,
+        "losses": ours,
+    }
+    if golden is not None:
+        ref = golden["losses"]
+        diffs = {
+            k: abs(ours[k] - ref[k]) / max(abs(ref[k]), 1e-6)
+            for k in ours if k in ref
+        }
+        rec["golden_losses"] = ref
+        rec["rel_diffs"] = {k: round(v, 6) for k, v in diffs.items()}
+        strict = {k: v for k, v in diffs.items() if k != "loss_mmu"}
+        rec["status"] = (
+            "match" if all(v < 2e-3 for v in strict.values()) else "mismatch"
+        )
+        rec["mmu_note"] = golden.get("mmu_note")
+    else:
+        rec["status"] = "no_golden"
+    return rec
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--janus-path", required=True,
@@ -329,6 +391,7 @@ def main(argv=None) -> int:
         "edit": lambda: run_teacher_forced(pipe, "edit", load_golden("edit")),
         "rm": lambda: run_teacher_forced(pipe, "rm", load_golden("rm")),
         "uni": lambda: run_uni(pipe, load_golden("uni")),
+        "losses": lambda: run_losses(pipe, load_golden("losses")),
     }
     report = []
     for mode in args.modes.split(","):
