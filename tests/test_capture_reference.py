@@ -97,9 +97,11 @@ class TestCrossImplementationParity:
         assert rc == 0
         for mode in ("plan", "mmu", "edit", "rm"):
             assert report[mode]["status"] == "match", (mode, report[mode])
-        # sampled mode is compared by logit injection, not RNG replication
-        assert report["uni"]["status"] == "logit_injection"
-        assert 0.0 < report["uni"]["mean_prob_of_injected"] <= 1.0
+        # sampled mode: RNG streams are not replicated; instead OUR
+        # probability of each reference-sampled token must match the
+        # probability the reference itself assigned when sampling it
+        assert report["uni"]["status"] == "prob_match", report["uni"]
+        assert report["uni"]["prob_parity"]["max_rel_diff"] < 5e-2
         # training numerics: per-flow losses within fp32 cross-framework
         # tolerance (loss_mmu informational on the tiny vocab — see mmu_note)
         losses = report["losses"]

@@ -460,10 +460,35 @@ def capture_losses(system, image_hw: int) -> Dict[str, Any]:
 
 
 def capture_uni(system, image_hw: int) -> Dict[str, Any]:
+    """Sampled stream + the reference's OWN per-step probability of each
+    sampled token (recorded by wrapping torch.multinomial around
+    sample_image, plangen_base.py:591). The comparison side injects the
+    stream and checks OUR probability of each token against these —
+    quantitative parity for the sampled mode, without RNG replication."""
+    import torch
+
     system.args.use_teacher_forcing = False
     system.args.use_neg_box = False
     batch = _uni_batch(system, PINNED_UNI_CAPTION, PINNED_UNI_GROUNDING)
-    tokens = _sample_tokens(system, batch, teacher_forced=False, image_hw=image_hw)
+
+    probs_log: List[List[float]] = []
+    _multinomial = torch.multinomial
+
+    def recording_multinomial(probs, num_samples, *a, **k):
+        out = _multinomial(probs, num_samples, *a, **k)
+        picked = probs.gather(-1, out)  # [rows, 1]
+        probs_log.append([float(x) for x in picked[:, 0]])
+        return out
+
+    torch.multinomial = recording_multinomial
+    try:
+        tokens = _sample_tokens(
+            system, batch, teacher_forced=False, image_hw=image_hw
+        )
+    finally:
+        torch.multinomial = _multinomial
+    # probs_log is [step][row] -> transpose to [row][step]
+    token_probs = [list(col) for col in zip(*probs_log)] if probs_log else []
     return {
         "mode": "uni",
         "caption": PINNED_UNI_CAPTION,
@@ -471,6 +496,7 @@ def capture_uni(system, image_hw: int) -> Dict[str, Any]:
         "cfg_weight": float(system.args.cfg_weight),
         "temperature": float(system.args.temperature),
         "tokens": tokens,
+        "token_probs": token_probs,
     }
 
 

@@ -275,6 +275,23 @@ def run_uni(pipe, golden: Optional[dict]) -> Dict[str, Any]:
         "top1_agreement": float((top1 == inj).mean()),
         "status": "logit_injection" if golden is not None else "no_golden",
     }
+    if golden is not None and golden.get("token_probs"):
+        # quantitative sampled-mode parity: the reference recorded ITS OWN
+        # probability of each sampled token (capture_reference wraps
+        # torch.multinomial); ours for the same stream must match within
+        # cross-framework fp32 tolerance
+        ref_p = np.asarray(golden["token_probs"], dtype=np.float64)
+        diffs = np.abs(inj_p.astype(np.float64) - ref_p)
+        rel = diffs / np.maximum(ref_p, 1e-9)
+        rec["prob_parity"] = {
+            "mean_abs_diff": float(diffs.mean()),
+            "max_abs_diff": float(diffs.max()),
+            "max_rel_diff": float(rel.max()),
+        }
+        rec["status"] = (
+            "prob_match" if float(rel.max()) < 5e-2 and float(diffs.max()) < 1e-3
+            else "prob_mismatch"
+        )
     return rec
 
 
@@ -407,8 +424,9 @@ def main(argv=None) -> int:
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
-    bad = [r for r in report if r.get("status") == "mismatch"
-           or r.get("status") == "internal_mismatch"]
+    bad = [r for r in report
+           if r.get("status") in ("mismatch", "internal_mismatch",
+                                  "prob_mismatch")]
     print(json.dumps({"report": args.out, "modes": len(report),
                       "mismatched_modes": len(bad)}))
     return 1 if bad else 0
