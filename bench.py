@@ -59,12 +59,11 @@ def _best(fn, repeats):
 
 def _growing_avg_live(L, n_img, num_phases=4):
     """Average live KV slots per decode step under the segmented cache
-    (mirrors runtime/generate._generate_growing's 128-aligned segment ends)."""
-    cap = -(-(L + n_img) // 128) * 128
-    ends = sorted({
-        min(cap, -(-(L + (p + 1) * n_img // num_phases) // 128) * 128)
-        for p in range(num_phases)
-    })
+    (uses the decode loop's OWN segment-end function, so the roofline cannot
+    drift from the real segmentation)."""
+    from plangen_tpu.runtime.generate import growing_segment_ends
+
+    ends = growing_segment_ends(L, n_img, num_phases)
     total = 0
     prev = L
     for e in ends:
@@ -179,23 +178,24 @@ def sweep() -> None:
                 rows.append({"config": name, "batch": B,
                              "error": f"{type(e).__name__}"})
                 sys.stderr.write(f"sweep {name} B={B}: {type(e).__name__}\n")
-                continue
-            best, _ = _best(run, repeats)
-            s_step = best / n_img
-            floor = _hbm_floor_s_per_step(
-                cfg, B, wmode or "bf16", kv_int8, growing, L
-            )
-            rows.append({
-                "config": name,
-                "batch": B,
-                "tokens_per_sec": round(B * n_img / best, 2),
-                "s_per_step": round(s_step, 6),
-                "s_per_batch": round(best, 3),
-                "hbm_floor_s_per_step": round(floor, 6),
-                "pct_of_hbm_floor": round(100.0 * floor / s_step, 1),
-            })
+            else:
+                best, _ = _best(run, repeats)
+                s_step = best / n_img
+                floor = _hbm_floor_s_per_step(
+                    cfg, B, wmode or "bf16", kv_int8, growing, L
+                )
+                rows.append({
+                    "config": name,
+                    "batch": B,
+                    "tokens_per_sec": round(B * n_img / best, 2),
+                    "s_per_step": round(s_step, 6),
+                    "s_per_batch": round(best, 3),
+                    "hbm_floor_s_per_step": round(floor, 6),
+                    "pct_of_hbm_floor": round(100.0 * floor / s_step, 1),
+                })
             sys.stderr.write(json.dumps(rows[-1]) + "\n")
-            # checkpoint after every row: a crash keeps partial results
+            # checkpoint after every row (incl. error rows): a crash keeps
+            # partial results and failures stay in the artifact
             out_path.write_text(json.dumps({
                 "note": (
                     "quantization x batch decode matrix on one v5e chip; "

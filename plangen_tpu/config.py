@@ -375,6 +375,36 @@ class PlanGenConfig:
 # ---------------------------------------------------------------------------
 
 
+def validate_config(cfg: "PlanGenConfig") -> "PlanGenConfig":
+    """Reject silently-inconsistent flag combinations (raises ValueError).
+
+    Called by every entry point that builds a pipeline or trainer. Each rule
+    guards a combination that would otherwise run and produce wrong results
+    with no error — the misconfig class the lowercase-boolean fix also
+    targets."""
+    g = cfg.generation
+    if not cfg.use_textual and not cfg.use_numhw_tokens:
+        raise ValueError(
+            "use_textual=False serializes <hN>/<wN> coordinate tokens, which "
+            "require use_numhw_tokens=True (atomic tokenizer entries, "
+            "plangen_base.py:121-127); without them every tag byte-fallback "
+            "encodes into many ids and labels silently diverge"
+        )
+    if g.kv_a8 and g.quantize is None:
+        raise ValueError(
+            "generation.kv_a8 applies s8 dots over the int8 KV cache and "
+            "requires generation.quantize to be set; without it the decode "
+            "silently runs the plain bf16 path"
+        )
+    if g.speculative and (g.quantize is not None or g.kv_a8):
+        raise ValueError(
+            "generation.speculative supports only the bf16 cache "
+            "(runtime/speculative.py); combining it with quantize/kv_a8 "
+            "would silently decode without quantization"
+        )
+    return cfg
+
+
 def _parse_value(text: str) -> Any:
     # lowercase true/false/none would otherwise literal-eval-fail and survive
     # as TRUTHY strings — `--opt generation.jacobi=false` silently enabling

@@ -78,7 +78,7 @@ def canonicalize_schedule(
     return tuple(i < first or i >= last for i in range(n))
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_tokens", "schedule", "quantized_cache"))
+@partial(jax.jit, static_argnames=("cfg", "num_tokens", "schedule", "quantized_cache", "kv_a8"))
 def generate_image_tokens_fast_edit(
     params: Params,
     cfg: PlanGenModelConfig,
@@ -92,6 +92,7 @@ def generate_image_tokens_fast_edit(
     num_tokens: int = 576,
     schedule: Tuple[bool, ...] = (),  # from frozen_chunk_schedule
     quantized_cache: bool = False,
+    kv_a8: bool = False,  # s8 decode-attention dots (see generate_image_tokens)
 ) -> ImageGenResult:
     """Teacher-forced generation with frozen chunks processed prefill-style.
 
@@ -119,7 +120,8 @@ def generate_image_tokens_fast_edit(
         emb = vlm.gen_img_embeds(params, pair[:, None]).astype(cfg_embeds.dtype)
         pos = jnp.array([L], dtype=jnp.int32) + i
         hidden, cache = llama.forward(
-            lm, cfg.llama, emb, attn_mask, positions=pos, kv_cache=cache
+            lm, cfg.llama, emb, attn_mask, positions=pos, kv_cache=cache,
+            kv_a8=kv_a8,
         )
         return token, hidden[:, -1], cache
 

@@ -220,19 +220,7 @@ def _generate_growing(
     B2, L, H = cfg_embeds.shape
     S_max = L + num_tokens
 
-    # segment END offsets: 128-aligned, ~evenly spaced, strictly increasing
-    # (duplicates after rounding merge, so the effective phase count may be
-    # lower). Phase p writes EXACTLY absolute positions [ends[p-1], ends[p])
-    # (phase 0 starts at L after prefill), so every write lands inside its
-    # own segment. The total may exceed L + num_tokens by <128 — the extra
-    # tail slots are masked off and never written.
-    cap = -(-(L + num_tokens) // 128) * 128
-    ends = sorted(
-        {
-            min(cap, -(-(L + (p + 1) * num_tokens // num_phases) // 128) * 128)
-            for p in range(num_phases)
-        }
-    )
+    ends = growing_segment_ends(L, num_tokens, num_phases)
     total = ends[-1]
     assert total >= L + num_tokens
     # per-phase decode step counts (step i writes position L + i)
@@ -277,13 +265,20 @@ def _generate_growing(
     return ImageGenResult(tokens=tokens.T)
 
 
-def _text_phase_ends(L: int, max_new_tokens: int, num_phases: int):
-    """128-aligned phase end offsets for the text decode (same scheme as
-    _generate_growing)."""
-    cap = -(-(L + max_new_tokens) // 128) * 128
+def growing_segment_ends(L: int, num_tokens: int, num_phases: int = 4):
+    """Segment END offsets for the growing cache: 128-aligned, ~evenly
+    spaced, strictly increasing (duplicates after rounding merge, so the
+    effective phase count may be lower). Phase p writes EXACTLY absolute
+    positions [ends[p-1], ends[p]) (phase 0 starts at L after prefill), so
+    every write lands inside its own segment. The total may exceed
+    L + num_tokens by <128 — the extra tail slots are masked off and never
+    written. Shared by the image/text decode loops AND bench.py's roofline
+    model (so the published %-of-floor columns can't drift from the real
+    segmentation)."""
+    cap = -(-(L + num_tokens) // 128) * 128
     return sorted(
         {
-            min(cap, -(-(L + (p + 1) * max_new_tokens // num_phases) // 128) * 128)
+            min(cap, -(-(L + (p + 1) * num_tokens // num_phases) // 128) * 128)
             for p in range(num_phases)
         }
     )
@@ -351,7 +346,7 @@ def greedy_decode_text(
     if growing_cache:
         from plangen_tpu.runtime.kvcache import init_segmented_kv_cache
 
-        ends = _text_phase_ends(L, max_new_tokens, 4)
+        ends = growing_segment_ends(L, max_new_tokens, 4)
         total = ends[-1]
         if total > attn_mask.shape[1]:
             attn_mask = jnp.concatenate(

@@ -33,6 +33,9 @@ from plangen_tpu.utils.visualize import draw_layout, save_image, save_image_grid
 
 
 def build_pipeline(cfg: PlanGenConfig, params=None) -> PlanGenPipeline:
+    from plangen_tpu.config import validate_config
+
+    validate_config(cfg)
     tok = load_tokenizer(
         cfg.janus_path,
         vocab_size=cfg.model.llama.vocab_size,

@@ -267,6 +267,7 @@ class PlanGenPipeline:
                 num_tokens=n_img,
                 schedule=schedule,
                 quantized_cache=(self.gen.quantize in ("int8", "int4", "int4_a8")),
+                kv_a8=self.gen.kv_a8,
             )
             return GenerationOutput(
                 images=self._detokenize(result.tokens),

@@ -37,6 +37,9 @@ from plangen_tpu.train.step import init_train_state, make_train_step
 
 class Trainer:
     def __init__(self, cfg: PlanGenConfig, params: Optional[Any] = None):
+        from plangen_tpu.config import validate_config
+
+        validate_config(cfg)
         self.cfg = cfg
         tcfg = cfg.train
 

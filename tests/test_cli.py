@@ -48,3 +48,45 @@ class TestLoadConfig:
     def test_bad_override(self):
         with pytest.raises(KeyError):
             load_config(None, ["nonexistent.key=1"])
+
+
+class TestValidateConfig:
+    def test_numhw_required_for_nontextual(self):
+        import pytest
+
+        from plangen_tpu.tasks.eval import build_pipeline
+
+        cfg = load_config(None, ["use_textual=false"])
+        with pytest.raises(ValueError, match="use_numhw_tokens"):
+            build_pipeline(cfg)
+
+    def test_kv_a8_requires_quantize(self):
+        import pytest
+
+        from plangen_tpu.config import validate_config
+
+        cfg = load_config(None, ["generation.kv_a8=true"])
+        with pytest.raises(ValueError, match="quantize"):
+            validate_config(cfg)
+
+    def test_speculative_excludes_quantize(self):
+        import pytest
+
+        from plangen_tpu.config import validate_config
+
+        cfg = load_config(
+            None, ["generation.speculative=true", "generation.quantize=int8"]
+        )
+        with pytest.raises(ValueError, match="speculative"):
+            validate_config(cfg)
+
+    def test_valid_combinations_pass(self):
+        from plangen_tpu.config import validate_config
+
+        validate_config(load_config(None, []))
+        validate_config(load_config(
+            None, ["use_textual=false", "use_numhw_tokens=true"]
+        ))
+        validate_config(load_config(
+            None, ["generation.quantize=int8", "generation.kv_a8=true"]
+        ))

@@ -84,13 +84,13 @@ def run_load(url: str, mode: str, rps: float, duration: float, hw: int,
                     err = f"http {resp.status}"
         except Exception as e:  # noqa: BLE001 — record, don't crash the load
             err = f"{type(e).__name__}"
-        dt = time.perf_counter() - t0
+        done = time.perf_counter()
         with lock:
-            results.append((dt, err))
+            results.append((done - t0, done, err))
 
     t_end = time.time() + duration
     n_sent = 0
-    t0 = time.time()
+    t0 = time.perf_counter()
     while time.time() < t_end:
         # open-loop Poisson: exponential inter-arrivals, fire-and-forget
         time.sleep(rng.expovariate(rps))
@@ -101,10 +101,14 @@ def run_load(url: str, mode: str, rps: float, duration: float, hw: int,
         n_sent += 1
     for th in threads:
         th.join(timeout=timeout)
-    wall = time.time() - t0
 
-    lats = sorted(dt for dt, err in results if err is None)
-    errors = [err for _, err in results if err]
+    lats = sorted(dt for dt, _, err in results if err is None)
+    errors = [err for _, _, err in results if err]
+    # throughput window ends at the LAST completion, not after the join —
+    # otherwise short runs understate achieved rate by the drain time
+    last_done = max((done for _, done, err in results if err is None),
+                    default=t0)
+    wall = max(last_done - t0, 1e-9)
 
     def pct(p):
         return round(lats[min(len(lats) - 1, int(p * len(lats)))], 3) if lats else None

@@ -67,11 +67,9 @@ from golden_parity import (  # noqa: E402
     pinned_image,
 )
 
-# the reference's hard-coded MMU question (plangen_base.py:823)
-MMU_QUESTION = (
-    "Please describe this image and then give the description and bounding "
-    "box of each object in the image."
-)
+# the reference's hard-coded MMU question (plangen_base.py:823) — imported
+# from the framework so the capture and comparison sides stay locked together
+from plangen_tpu.text.chat_template import MMU_QUESTION  # noqa: E402
 
 
 def write_reference_configs(path: Path, cfg) -> None:
