@@ -383,6 +383,7 @@ def main() -> None:
                 eos_id=jnp.int32(-1),  # never fires: decode the full budget
                 max_new_tokens=T,
                 growing_cache=os.environ.get("BENCH_GROWING", "1") == "1",
+                quantized_cache=quantized_cache,
             )
             return np.asarray(toks)
 

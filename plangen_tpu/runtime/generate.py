@@ -284,7 +284,10 @@ def growing_segment_ends(L: int, num_tokens: int, num_phases: int = 4):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "growing_cache"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "growing_cache", "quantized_cache"),
+)
 def greedy_decode_text(
     params: Params,
     cfg: PlanGenModelConfig,
@@ -293,6 +296,9 @@ def greedy_decode_text(
     eos_id: jax.Array,  # scalar int32
     max_new_tokens: int = 512,
     growing_cache: bool = False,  # segmented cache (see generate_image_tokens)
+    quantized_cache: bool = False,  # int8 KV (the 512-budget path reads the
+    # same cache volume per step as the image loop; halving it helps the
+    # plan/MMU serving modes the same way)
 ) -> jax.Array:
     """Greedy KV-cached text decode; rows that hit EOS keep emitting EOS.
 
@@ -357,7 +363,8 @@ def greedy_decode_text(
         seg_sizes = [ends[0]] + [b - a for a, b in zip(ends, ends[1:])]
         seg_starts = [0] + ends[:-1]
         cache = init_segmented_kv_cache(
-            cfg.llama, B, seg_sizes, dtype=inputs_embeds.dtype
+            cfg.llama, B, seg_sizes, dtype=inputs_embeds.dtype,
+            quantized=quantized_cache,
         )
         last_hidden, cache = prefill(
             params, cfg, inputs_embeds, attn_mask[:, : ends[0]], cache,
@@ -381,7 +388,9 @@ def greedy_decode_text(
         return state[4]
 
     S_max = L + max_new_tokens
-    cache = init_kv_cache(cfg.llama, B, S_max, dtype=inputs_embeds.dtype)
+    cache = init_kv_cache(
+        cfg.llama, B, S_max, dtype=inputs_embeds.dtype, quantized=quantized_cache
+    )
     last_hidden, cache = prefill(params, cfg, inputs_embeds, attn_mask, cache)
 
     def cond(state):

@@ -141,6 +141,7 @@ class PlanGenPipeline:
             jnp.int32(self.proc.tok.special.eos_id),
             max_new_tokens=budget,
             growing_cache=self.gen.growing_cache,
+            quantized_cache=(self.gen.quantize in ("int8", "int4", "int4_a8")),
         )
 
     def plan(self, captions: Sequence[str]) -> List[str]:

@@ -151,6 +151,19 @@ class TestGolden:
         )
         np.testing.assert_array_equal(np.asarray(out), GOLDEN_TEXT_TOKENS_GROWING)
 
+    def test_text_quantized_cache_golden(self):
+        """int8 KV for the greedy text path (plan/MMU serving): pinned stream,
+        fixed + growing (matches the bf16 stream at tiny margins — part of
+        the expectation)."""
+        emb = vlm.embed_text(self.params, self.ids)
+        mask = jnp.ones((1, 14), dtype=jnp.int32)
+        for kw in (dict(), dict(growing_cache=True)):
+            out = greedy_decode_text(
+                self.params, self.cfg, emb, mask, jnp.int32(1),
+                max_new_tokens=6, quantized_cache=True, **kw,
+            )
+            np.testing.assert_array_equal(np.asarray(out), GOLDEN_TEXT_TOKENS)
+
     def test_int4_golden(self):
         """int4 Pallas weights + int8 KV on the alignment-sized model."""
         import sys
