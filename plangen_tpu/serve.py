@@ -109,6 +109,15 @@ class Batcher:
                                         name="plangen-batcher")
         self._thread.start()
 
+    def _encoder_pool(self):
+        if getattr(self, "_png_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._png_pool = ThreadPoolExecutor(
+                max_workers=8, thread_name_prefix="plangen-png"
+            )
+        return self._png_pool
+
     def submit(self, mode: str, payload: Dict[str, Any]) -> _Request:
         req = _Request(mode, payload)
         # validate per-request knobs HERE (raises to the caller as a 400):
@@ -122,6 +131,8 @@ class Batcher:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        if getattr(self, "_png_pool", None) is not None:
+            self._png_pool.shutdown(wait=False)
 
     # ------------------------------------------------------------- internals
 
@@ -259,13 +270,21 @@ class Batcher:
                 )
                 out = self.pipe.layout_to_image(caps, groundings, seeds=seeds,
                                                 parallel_size=ps)
+            # PNG encode in parallel: PIL releases the GIL in the encoder and
+            # a serialized loop in the device-owner thread was a measured
+            # chunk of the batch cycle at batch 32
+            all_rows = sorted({c * bucket + i
+                               for i in range(len(batch)) for c in range(ps)})
+            encoded = dict(zip(all_rows, self._encoder_pool().map(
+                _png_b64, [out.images[j] for j in all_rows]
+            )))
             for i, r in enumerate(batch):
                 # parallel_size rows are copy-major (pipeline._row_keys):
                 # request i's sample c sits at row c*bucket + i
                 rows = [c * bucket + i for c in range(ps)]
                 r.result = {
-                    "image_b64": _png_b64(out.images[rows[0]]),
-                    "images_b64": [_png_b64(out.images[j]) for j in rows],
+                    "image_b64": encoded[rows[0]],
+                    "images_b64": [encoded[j] for j in rows],
                     "grounding": groundings[i],
                     "tokens": [int(t) for t in out.image_tokens[rows[0]]],
                     "seed": seeds[i],
@@ -305,9 +324,12 @@ class Batcher:
                 neg_groundings=neg_groundings,
                 seeds=seeds,
             )
+            pngs = list(self._encoder_pool().map(
+                _png_b64, [out.images[i] for i in range(len(batch))]
+            ))
             for i, r in enumerate(batch):
                 r.result = {
-                    "image_b64": _png_b64(out.images[i]),
+                    "image_b64": pngs[i],
                     "tokens": [int(t) for t in out.image_tokens[i]],
                     "seed": seeds[i],
                 }
@@ -363,8 +385,20 @@ def make_handler(batcher: Batcher):
 def serve(cfg, host: str = "127.0.0.1", port: int = 8000,
           max_batch: int = 32, wait_ms: float = 20.0, params=None):
     """Build the pipeline and serve until interrupted."""
+    import dataclasses
+
     from plangen_tpu.tasks.eval import build_pipeline
 
+    # serving always converts pixels to uint8 ON DEVICE: the host fetch is
+    # the 4x-smaller payload PNG encoding needs anyway, and the conversion
+    # is bit-identical to the host formula (vq.decode_code_uint8; measured
+    # ~2 s/batch of tunnel fetch saved at batch 32)
+    if not cfg.generation.output_uint8:
+        cfg = dataclasses.replace(
+            cfg, generation=dataclasses.replace(
+                cfg.generation, output_uint8=True
+            )
+        )
     pipe = build_pipeline(cfg, params=params)
     batcher = Batcher(pipe, max_batch=max_batch, wait_ms=wait_ms)
     httpd = ThreadingHTTPServer((host, port), make_handler(batcher))
