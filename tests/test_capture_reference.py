@@ -72,7 +72,7 @@ class TestCrossImplementationParity:
             [
                 sys.executable, str(REPO / "tools/capture_reference.py"),
                 "--janus-path", str(d), "--tiny", "--out", str(out),
-                "--modes", "plan,mmu,edit,rm,uni,losses",
+                "--modes", "plan,mmu,edit,rm,uni,losses,prompts",
                 "--max-new-text-tokens", "6",
             ],
             capture_output=True, text=True, timeout=900,
@@ -90,7 +90,7 @@ class TestCrossImplementationParity:
             "--cfg", str(REPO / "configs/toy_smoke.py"),
             "--max-new-text-tokens", "6",
             "--golden", str(golden_dir),
-            "--modes", "plan,mmu,edit,rm,uni,losses",
+            "--modes", "plan,mmu,edit,rm,uni,losses,prompts",
             "--out", str(report_path),
         ])
         report = {r["mode"]: r for r in json.loads(report_path.read_text())}
@@ -108,6 +108,8 @@ class TestCrossImplementationParity:
         assert losses["status"] == "match", losses
         for k in ("loss_uni_t2i", "loss_uni_lm", "loss_plan_lm"):
             assert losses["rel_diffs"][k] < 2e-3, (k, losses)
+        # prompt construction: exact id equality for every wrapper + padding
+        assert report["prompts"]["status"] == "match", report["prompts"]
 
     def test_golden_files_complete(self, goldens):
         _, golden_dir = goldens

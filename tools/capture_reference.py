@@ -418,6 +418,32 @@ def capture_teacher_forced(system, mode: str, image_hw: int) -> Dict[str, Any]:
     return rec
 
 
+def capture_prompts(system) -> Dict[str, Any]:
+    """Prompt-construction parity: the reference's exact token ids for every
+    prompt wrapper (wrap_t2i_prompt :210-230, wrap_uni_prompt :232-261 incl.
+    the stage-1 drop-last-token form, pad_input_ids left-padding :699-725).
+    Locks the whole prompt surface — a template/tokenizer drift shows up as
+    an id diff even when greedy decode happens to agree."""
+    caption = PINNED_UNI_CAPTION
+    grounding = PINNED_UNI_GROUNDING
+    _, t2i_ids = system.wrap_t2i_prompt(caption)
+    _, uni_ids = system.wrap_uni_prompt(caption, grounding)
+    _, s1_ids = system.wrap_uni_prompt(caption, "<grounding>", in_stage1=True)
+    # left-pad two ragged rows the way the collates do
+    _, short_ids = system.wrap_uni_prompt("a cat", grounding)
+    padded, mask = system.pad_input_ids([uni_ids, short_ids])
+    return {
+        "mode": "prompts",
+        "caption": caption,
+        "grounding": grounding,
+        "t2i_ids": [int(x) for x in t2i_ids],
+        "uni_ids": [int(x) for x in uni_ids],
+        "stage1_ids": [int(x) for x in s1_ids],
+        "padded_ids": [[int(x) for x in row] for row in padded],
+        "padded_mask": [[int(x) for x in row] for row in mask],
+    }
+
+
 def capture_losses(system, image_hw: int) -> Dict[str, Any]:
     """Training-loss parity: the reference's per-flow losses on a pinned
     batch (forward_uni / forward_plan / forward_mmu,
@@ -507,7 +533,7 @@ def main(argv=None) -> int:
     ap.add_argument("--finetune", default=None,
                     help="trainable_model_parameters.pth overlay")
     ap.add_argument("--out", required=True, help="golden dump dir")
-    ap.add_argument("--modes", default="plan,mmu,edit,rm,uni,losses")
+    ap.add_argument("--modes", default="plan,mmu,edit,rm,uni,losses,prompts")
     ap.add_argument("--max-new-text-tokens", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cfg-weight", type=float, default=5.0)
@@ -575,6 +601,7 @@ def main(argv=None) -> int:
         "rm": lambda: capture_teacher_forced(system, "rm", image_hw),
         "uni": lambda: capture_uni(system, image_hw),
         "losses": lambda: capture_losses(system, image_hw),
+        "prompts": lambda: capture_prompts(system),
     }
     os.makedirs(args.out, exist_ok=True)
     for mode in args.modes.split(","):

@@ -295,6 +295,43 @@ def run_uni(pipe, golden: Optional[dict]) -> Dict[str, Any]:
     return rec
 
 
+def run_prompts(pipe, golden: Optional[dict]) -> Dict[str, Any]:
+    """Prompt-construction parity: our processor's token ids vs the
+    reference's wrap_t2i/wrap_uni/stage-1/pad_input_ids captures — EXACT
+    integer equality (no model involved)."""
+    g = golden or {}
+    caption = g.get("caption", PINNED_UNI_CAPTION)
+    grounding = g.get("grounding", PINNED_UNI_GROUNDING)
+    proc = pipe.proc
+    ours: Dict[str, Any] = {
+        "t2i_ids": [int(x) for x in proc.t2i_ids(caption)],
+        "uni_ids": [int(x) for x in proc.uni_ids(caption, grounding)],
+        "stage1_ids": [int(x) for x in proc.stage1_ids(caption)],
+    }
+    from plangen_tpu.text.batching import left_pad_batch
+
+    padded, mask = left_pad_batch(
+        [proc.uni_ids(caption, grounding), proc.uni_ids("a cat", grounding)],
+        proc.tok.special.pad_id,
+    )
+    ours["padded_ids"] = [[int(x) for x in row] for row in padded]
+    ours["padded_mask"] = [[int(x) for x in row] for row in mask]
+
+    rec: Dict[str, Any] = {"mode": "prompts", "caption": caption,
+                           "grounding": grounding, **ours}
+    if golden is not None:
+        mismatched = [
+            k for k in ("t2i_ids", "uni_ids", "stage1_ids",
+                        "padded_ids", "padded_mask")
+            if k in golden and golden[k] != ours[k]
+        ]
+        rec["status"] = "match" if not mismatched else "mismatch"
+        rec["mismatched_fields"] = mismatched
+    else:
+        rec["status"] = "no_golden"
+    return rec
+
+
 def run_losses(pipe, golden: Optional[dict]) -> Dict[str, Any]:
     """Training-loss parity (reference forward_uni/forward_plan/forward_mmu):
     our per-flow losses on the same pinned batch, compared within fp32
@@ -409,6 +446,7 @@ def main(argv=None) -> int:
         "rm": lambda: run_teacher_forced(pipe, "rm", load_golden("rm")),
         "uni": lambda: run_uni(pipe, load_golden("uni")),
         "losses": lambda: run_losses(pipe, load_golden("losses")),
+        "prompts": lambda: run_prompts(pipe, load_golden("prompts")),
     }
     report = []
     for mode in args.modes.split(","):
