@@ -211,6 +211,91 @@ def sweep() -> None:
     print(json.dumps({"sweep_rows": len(rows), "out": str(out_path)}))
 
 
+def sweep_text() -> None:
+    """Greedy text-decode (plan/MMU) matrix -> text_rows in BENCH_SWEEP.json:
+    {bf16, int8 kv, int8 w+kv, int4} x {128, 512} budgets at B=32."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plangen_tpu.config import PlanGenModelConfig
+    from plangen_tpu.models import vlm
+    from plangen_tpu.ops.quant import quantize_lm_params, quantize_lm_params_int4
+    from plangen_tpu.runtime.generate import greedy_decode_text
+
+    L = int(os.environ.get("BENCH_PROMPT_LEN", "64"))
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    growing = os.environ.get("BENCH_GROWING", "1") == "1"
+    cfg = PlanGenModelConfig()
+    key = jax.random.PRNGKey(0)
+    out_path = Path(__file__).parent / "BENCH_SWEEP.json"
+    doc = json.loads(out_path.read_text()) if out_path.exists() else {"rows": []}
+    rows = []
+
+    for name, wmode, kv_int8 in SWEEP_CONFIGS:
+        if name == "int4_a8":
+            continue  # text path uses the same kernels as int4
+        if wmode in ("int4",):
+            params = jax.jit(
+                lambda k: quantize_lm_params_int4(
+                    vlm.init(k, cfg, dtype=jnp.bfloat16)
+                )
+            )(key)
+        elif wmode == "int8":
+            params = jax.jit(
+                lambda k: quantize_lm_params(vlm.init(k, cfg, dtype=jnp.bfloat16))
+            )(key)
+        else:
+            params = jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16))(key)
+        embeds = jax.random.normal(
+            jax.random.PRNGKey(2), (B, L, cfg.llama.hidden_size),
+            dtype=jnp.bfloat16,
+        )
+        for T in (128, 512):
+            mask = jnp.ones((B, L + T), dtype=jnp.int32)
+
+            def run(seed):
+                toks = greedy_decode_text(
+                    params, cfg, embeds, mask,
+                    eos_id=jnp.int32(-1),  # decode the full budget
+                    max_new_tokens=T,
+                    growing_cache=growing,
+                    quantized_cache=kv_int8,
+                )
+                return np.asarray(toks)
+
+            try:
+                run(0)
+            except Exception as e:
+                rows.append({"config": name, "batch": B, "budget": T,
+                             "error": type(e).__name__})
+            else:
+                best, _ = _best(run, repeats)
+                rows.append({
+                    "config": name,
+                    "batch": B,
+                    "budget": T,
+                    "tokens_per_sec": round(B * T / best, 2),
+                    "s_per_batch": round(best, 3),
+                })
+            sys.stderr.write(json.dumps(rows[-1]) + "\n")
+            doc["text_rows"] = rows
+            doc["text_note"] = (
+                "greedy text decode (plan/MMU), full budget, no EOS; "
+                "quantized_cache follows the weight config's KV setting"
+            )
+            out_path.write_text(json.dumps(doc, indent=1))
+
+    print(json.dumps({"text_rows": len(rows), "out": str(out_path)}))
+
+
 def main() -> None:
     import jax
 
@@ -438,5 +523,7 @@ def main() -> None:
 if __name__ == "__main__":
     if os.environ.get("BENCH_SWEEP") == "1":
         sweep()
+    elif os.environ.get("BENCH_SWEEP_TEXT") == "1":
+        sweep_text()
     else:
         main()
