@@ -24,7 +24,9 @@ Endpoints (JSON in/out):
                    -> {"grounding", "image_b64", "images_b64", "seed"}
   POST /understand {"image_b64": png, "question"?: str} -> {"grounding": str}
   POST /edit       {"caption"?, "grounding": str, "image_b64": png,
-                    "edit_region": [576 ints, 1 = regenerate],
+                    "edit_region": [576 ints, 1 = regenerate] OR
+                    "edit_boxes": [[x1,y1,x2,y2] normalized, ...]
+                    (+ optional "pad_edit_box" dilation fraction),
                     "neg_grounding"?: str (removal), "seed"?: int}
                    -> {"image_b64": png, "tokens": [...], "seed": int}
   GET  /healthz    -> {"ok": true, "stats": {...}}
@@ -108,6 +110,22 @@ class Batcher:
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="plangen-batcher")
         self._thread.start()
+
+    def _edit_region(self, payload: Dict[str, Any]) -> "np.ndarray":
+        """Edit region from either a raw token-grid mask ("edit_region":
+        576 ints) or normalized boxes ("edit_boxes": [[x1,y1,x2,y2], ...],
+        optional "pad_edit_box" dilation) — the reference's datasets build
+        regions from boxes the same way (data_hico.py:330-344)."""
+        if "edit_boxes" in payload and "edit_region" not in payload:
+            from plangen_tpu.data.preprocess import build_edit_region
+
+            grid = int(round(self.pipe.cfg.image_seq_len ** 0.5))
+            return build_edit_region(
+                np.asarray(payload["edit_boxes"], dtype=np.float32),
+                grid=grid,
+                pad_edit_box=float(payload.get("pad_edit_box", 0.0)),
+            ).astype(np.int32)
+        return np.asarray(payload["edit_region"], dtype=np.int32)
 
     def _encoder_pool(self):
         if getattr(self, "_png_pool", None) is None:
@@ -304,9 +322,7 @@ class Batcher:
                 [_png_decode(r.payload["image_b64"], hw) for r in batch], bucket
             )
             regions = self._pad(
-                [np.asarray(r.payload["edit_region"], dtype=np.int32)
-                 for r in batch],
-                bucket,
+                [self._edit_region(r.payload) for r in batch], bucket
             )
             negs = [r.payload.get("neg_grounding") for r in batch]
             neg_groundings = (

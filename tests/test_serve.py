@@ -327,3 +327,42 @@ class TestServeUnderLoad:
         for mode, rec in out.items():
             assert rec["errors"] == 0, (mode, rec)
             assert rec["completed"] == rec["sent"] > 0
+
+
+class TestEditBoxes:
+    def test_edit_with_boxes_instead_of_region(self, server):
+        """/edit accepts normalized boxes; the server rasterizes them onto
+        the token grid via build_edit_region (data/preprocess.py:74-98,
+        reference data_hico.py:330-344)."""
+        base, _ = server
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (TINY.vision.image_size,) * 2, (10, 10, 120)).save(
+            buf, format="PNG"
+        )
+        code, out = post(base, "/edit", {
+            "caption": "scene",
+            "grounding": G,
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+            "edit_boxes": [[0.0, 0.0, 0.5, 0.5]],
+            "seed": 3,
+        })
+        assert code == 200
+        assert len(out["tokens"]) == TINY.image_seq_len
+
+        # equivalent raw region gives identical tokens (same seed)
+        from plangen_tpu.data.preprocess import build_edit_region
+        grid = int(round(TINY.image_seq_len ** 0.5))
+        region = build_edit_region(
+            np.asarray([[0.0, 0.0, 0.5, 0.5]], dtype=np.float32), grid=grid
+        )
+        code2, out2 = post(base, "/edit", {
+            "caption": "scene",
+            "grounding": G,
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+            "edit_region": [int(x) for x in region],
+            "seed": 3,
+        })
+        assert code2 == 200
+        assert out2["tokens"] == out["tokens"]
