@@ -113,6 +113,28 @@ SWEEP_CONFIGS = [
 SWEEP_BATCHES = (1, 32, 64)
 
 
+def _init_quantized_params(cfg, key, wmode):
+    """init + quantize in ONE jitted program (XLA frees each dense weight as
+    its quantized form exists — required for 7B, cheap everywhere)."""
+    import jax
+    import jax.numpy as jnp
+
+    from plangen_tpu.models import vlm
+    from plangen_tpu.ops.quant import quantize_lm_params, quantize_lm_params_int4
+
+    if wmode in ("int4", "int4_a8"):
+        return jax.jit(
+            lambda k, a8=(wmode == "int4_a8"): quantize_lm_params_int4(
+                vlm.init(k, cfg, dtype=jnp.bfloat16), act_int8=a8
+            )
+        )(key)
+    if wmode == "int8":
+        return jax.jit(
+            lambda k: quantize_lm_params(vlm.init(k, cfg, dtype=jnp.bfloat16))
+        )(key)
+    return jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16))(key)
+
+
 def sweep() -> None:
     """Quantization x batch matrix with roofline columns -> BENCH_SWEEP.json."""
     import jax
@@ -140,18 +162,7 @@ def sweep() -> None:
     out_path = Path(__file__).parent / "BENCH_SWEEP.json"
 
     for name, wmode, kv_int8 in SWEEP_CONFIGS:
-        if wmode in ("int4", "int4_a8"):
-            params = jax.jit(
-                lambda k, a8=(wmode == "int4_a8"): quantize_lm_params_int4(
-                    vlm.init(k, cfg, dtype=jnp.bfloat16), act_int8=a8
-                )
-            )(key)
-        elif wmode == "int8":
-            params = jax.jit(
-                lambda k: quantize_lm_params(vlm.init(k, cfg, dtype=jnp.bfloat16))
-            )(key)
-        else:
-            params = jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16))(key)
+        params = _init_quantized_params(cfg, key, wmode)
 
         for B in SWEEP_BATCHES:
             embeds = jax.random.normal(
@@ -195,8 +206,11 @@ def sweep() -> None:
                 })
             sys.stderr.write(json.dumps(rows[-1]) + "\n")
             # checkpoint after every row (incl. error rows): a crash keeps
-            # partial results and failures stay in the artifact
-            out_path.write_text(json.dumps({
+            # partial results and failures stay in the artifact. READ-MERGE-
+            # WRITE so a refresh never drops the text_rows section.
+            doc = (json.loads(out_path.read_text())
+                   if out_path.exists() else {})
+            doc.update({
                 "note": (
                     "quantization x batch decode matrix on one v5e chip; "
                     "pct_of_hbm_floor = (weights+KV bytes)/819GB/s vs measured "
@@ -206,7 +220,8 @@ def sweep() -> None:
                 "growing_cache": growing,
                 "device": jax.devices()[0].platform,
                 "rows": rows,
-            }, indent=1))
+            })
+            out_path.write_text(json.dumps(doc, indent=1))
 
     print(json.dumps({"sweep_rows": len(rows), "out": str(out_path)}))
 
@@ -242,18 +257,7 @@ def sweep_text() -> None:
     for name, wmode, kv_int8 in SWEEP_CONFIGS:
         if name == "int4_a8":
             continue  # text path uses the same kernels as int4
-        if wmode in ("int4",):
-            params = jax.jit(
-                lambda k: quantize_lm_params_int4(
-                    vlm.init(k, cfg, dtype=jnp.bfloat16)
-                )
-            )(key)
-        elif wmode == "int8":
-            params = jax.jit(
-                lambda k: quantize_lm_params(vlm.init(k, cfg, dtype=jnp.bfloat16))
-            )(key)
-        else:
-            params = jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16))(key)
+        params = _init_quantized_params(cfg, key, wmode)
         embeds = jax.random.normal(
             jax.random.PRNGKey(2), (B, L, cfg.llama.hidden_size),
             dtype=jnp.bfloat16,

@@ -402,6 +402,13 @@ def validate_config(cfg: "PlanGenConfig") -> "PlanGenConfig":
             "(runtime/speculative.py); combining it with quantize/kv_a8 "
             "would silently decode without quantization"
         )
+    if g.jacobi and g.quantize is not None:
+        raise ValueError(
+            "generation.jacobi is cacheless full-forward iteration whose "
+            "fixed point equals the BF16 greedy stream; with quantize set "
+            "the greedy path uses an int8 KV cache and the token-exactness "
+            "contract between the two would silently break"
+        )
     return cfg
 
 

@@ -91,7 +91,9 @@ def build_edit_region(
         boxes[:, 1] -= dy * pad_edit_box
         boxes[:, 2] += dx * pad_edit_box
         boxes[:, 3] += dy * pad_edit_box
-        boxes = boxes.clip(0, 1)
+    # always clamp: a slightly-negative raw detector coordinate would
+    # otherwise produce an empty (or wrap-around) grid slice below
+    boxes = boxes.clip(0, 1)
     for box in boxes:
         x1, y1, x2, y2 = (int(grid * v) for v in box)
         region[y1:y2, x1:x2] = 1

@@ -115,17 +115,32 @@ class Batcher:
         """Edit region from either a raw token-grid mask ("edit_region":
         576 ints) or normalized boxes ("edit_boxes": [[x1,y1,x2,y2], ...],
         optional "pad_edit_box" dilation) — the reference's datasets build
-        regions from boxes the same way (data_hico.py:330-344)."""
+        regions from boxes the same way (data_hico.py:330-344). Also runs at
+        submit() time as validation: malformed shapes raise ValueError there
+        (-> 400 for THIS request only), never inside the batch loop."""
+        n_img = self.pipe.cfg.image_seq_len
         if "edit_boxes" in payload and "edit_region" not in payload:
             from plangen_tpu.data.preprocess import build_edit_region
 
-            grid = int(round(self.pipe.cfg.image_seq_len ** 0.5))
+            boxes = np.asarray(payload["edit_boxes"], dtype=np.float32)
+            if boxes.size % 4 != 0:
+                raise ValueError(
+                    f"edit_boxes must be [N, 4] normalized coords, "
+                    f"got {boxes.shape}"
+                )
             return build_edit_region(
-                np.asarray(payload["edit_boxes"], dtype=np.float32),
-                grid=grid,
+                boxes,
+                grid=self.pipe.grid,
                 pad_edit_box=float(payload.get("pad_edit_box", 0.0)),
             ).astype(np.int32)
-        return np.asarray(payload["edit_region"], dtype=np.int32)
+        if "edit_region" not in payload:
+            raise ValueError("edit needs 'edit_region' (or 'edit_boxes')")
+        reg = np.asarray(payload["edit_region"], dtype=np.int32)
+        if reg.shape != (n_img,):
+            raise ValueError(
+                f"edit_region must have {n_img} entries, got {reg.shape}"
+            )
+        return reg
 
     def _encoder_pool(self):
         if getattr(self, "_png_pool", None) is None:
@@ -143,6 +158,8 @@ class Batcher:
         # or an unrelated request sharing its microbatch
         self._req_seed(req)
         self._req_ps(req)
+        if mode == "edit":
+            self._edit_region(payload)  # shape/values validated per request
         self.q.put(req)
         return req
 
@@ -313,7 +330,6 @@ class Batcher:
             # layout-guided editing / removal: gt image + edit region
             # (1 = regenerate); negative grounding optional (removal)
             hw = self.pipe.cfg.vision.image_size
-            n_img = self.pipe.cfg.image_seq_len
             caps = self._pad([r.payload.get("caption", "") for r in batch], bucket)
             groundings = self._pad(
                 [r.payload["grounding"] for r in batch], bucket
@@ -329,11 +345,6 @@ class Batcher:
                 self._pad([g or "" for g in negs], bucket)
                 if any(negs) else None
             )
-            for reg in regions:
-                if reg.shape != (n_img,):
-                    raise ValueError(
-                        f"edit_region must have {n_img} entries, got {reg.shape}"
-                    )
             seeds = self._pad([self._req_seed(r) for r in batch], bucket)
             out = self.pipe.edit_image(
                 caps, groundings, np.stack(imgs), np.stack(regions),

@@ -109,6 +109,12 @@ class PlanGenPipeline:
         # equals the SigLIP patch grid for the real config (both 16x)
         self.grid = model_cfg.vision.image_size // model_cfg.vq.downsample_factor
 
+    @property
+    def _quantized_cache(self) -> bool:
+        # every quantized weight mode pairs with the int8 KV cache; one
+        # predicate so a future mode cannot miss a decode path
+        return self.gen.quantize in ("int8", "int4", "int4_a8")
+
     def _detokenize(self, tokens) -> np.ndarray:
         """VQ ids -> pixels. With `gen.output_uint8` the uint8 conversion
         happens ON DEVICE (bit-identical to the host save formula), shrinking
@@ -141,7 +147,7 @@ class PlanGenPipeline:
             jnp.int32(self.proc.tok.special.eos_id),
             max_new_tokens=budget,
             growing_cache=self.gen.growing_cache,
-            quantized_cache=(self.gen.quantize in ("int8", "int4", "int4_a8")),
+            quantized_cache=self._quantized_cache,
         )
 
     def plan(self, captions: Sequence[str]) -> List[str]:
@@ -267,7 +273,7 @@ class PlanGenPipeline:
                 regen_mask=regen,
                 num_tokens=n_img,
                 schedule=schedule,
-                quantized_cache=(self.gen.quantize in ("int8", "int4", "int4_a8")),
+                quantized_cache=self._quantized_cache,
                 kv_a8=self.gen.kv_a8,
             )
             return GenerationOutput(
@@ -307,7 +313,7 @@ class PlanGenPipeline:
                 rng=rng,
                 cfg_weight=jnp.float32(self.gen.cfg_weight),
                 temperature=jnp.float32(self.gen.temperature),
-                quantized_cache=(self.gen.quantize in ("int8", "int4", "int4_a8")),
+                quantized_cache=self._quantized_cache,
                 growing_cache=self.gen.growing_cache,
                 kv_a8=self.gen.kv_a8,
                 gt_tokens=gt_tokens,

@@ -64,12 +64,13 @@ class TestHbmFloor:
         q4 = bench._hbm_floor_s_per_step(cfg, 32, "int4", True, True, 64)
         assert q4 < q8 < bf16
 
-    def test_bf16_b32_floor_magnitude(self, bench):
+    def test_bf16_b32_floor_magnitude(self, bench, monkeypatch):
         """Anchor: the 1B bf16 B=32 floor is ~9.7 ms/step (2.47 GB weights +
         ~5.4 GB live KV at 819 GB/s) — the measured 12.4 ms/step sits at
         ~78% of it (BENCH_SWEEP.json)."""
         from plangen_tpu.config import PlanGenModelConfig
 
+        monkeypatch.delenv("BENCH_HBM_GBPS", raising=False)
         f = bench._hbm_floor_s_per_step(
             PlanGenModelConfig(), 32, "bf16", False, True, 64
         )

@@ -188,12 +188,24 @@ class TestServe:
         assert len(out["tokens"]) == TINY.image_seq_len
 
     def test_edit_bad_region_errors(self, server):
+        """Malformed regions/boxes 400 at SUBMIT time — only this request
+        fails, never a microbatch mate (round-3 review fix)."""
         base, _ = server
         code, out = post(base, "/edit", {
             "grounding": G, "image_b64": _tiny_png(), "edit_region": [1, 0],
         })
-        assert code == 500
+        assert code == 400
         assert "edit_region" in out["error"]
+        code, out = post(base, "/edit", {
+            "grounding": G, "image_b64": _tiny_png(),
+            "edit_boxes": [[0.1, 0.2, 0.5]],  # not a multiple of 4
+        })
+        assert code == 400
+        assert "edit_boxes" in out["error"]
+        code, out = post(base, "/edit", {
+            "grounding": G, "image_b64": _tiny_png(),  # neither key
+        })
+        assert code == 400
 
 
 def _tiny_png():
