@@ -161,7 +161,8 @@ class TestGoldenParityHarness:
         rc, report = self._run(ckpt, tmp_path, ["--capture", str(golden_dir)])
         assert rc == 0
         modes = {r["mode"] for r in report}
-        assert modes == {"plan", "mmu", "edit", "rm", "uni"}
+        assert modes == {"plan", "mmu", "edit", "rm", "uni", "losses",
+                         "prompts"}
         tf = {r["mode"]: r for r in report}
         assert tf["edit"]["teacher_forced_equals_vq_encode"]
         assert tf["rm"]["teacher_forced_equals_vq_encode"]

@@ -406,7 +406,7 @@ def main(argv=None) -> int:
                     help="write OUR outputs as golden-format dumps to this dir")
     ap.add_argument("--out", default="parity_report.json")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
-    ap.add_argument("--modes", default="plan,mmu,edit,rm,uni")
+    ap.add_argument("--modes", default="plan,mmu,edit,rm,uni,losses,prompts")
     ap.add_argument("--max-new-text-tokens", type=int, default=512)
     ap.add_argument("--cfg", default=None,
                     help="config .py (default: full Janus-Pro-1B dims)")
