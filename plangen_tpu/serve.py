@@ -151,6 +151,18 @@ class Batcher:
             )
         return self._png_pool
 
+    def _assembler_pool(self):
+        # SEPARATE from the PNG pool: assemblers block on encoder_pool.map,
+        # so sharing one pool could fill every worker with waiting
+        # assemblers and deadlock
+        if getattr(self, "_asm_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._asm_pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="plangen-assemble"
+            )
+        return self._asm_pool
+
     def submit(self, mode: str, payload: Dict[str, Any]) -> _Request:
         req = _Request(mode, payload)
         # validate per-request knobs HERE (raises to the caller as a 400):
@@ -166,6 +178,8 @@ class Batcher:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        if getattr(self, "_asm_pool", None) is not None:
+            self._asm_pool.shutdown(wait=True)  # let in-flight results land
         if getattr(self, "_png_pool", None) is not None:
             self._png_pool.shutdown(wait=False)
 
@@ -250,15 +264,33 @@ class Batcher:
             if not batch:
                 continue
             try:
-                self._run(batch)
+                deferred = self._run(batch)
             except Exception as e:  # surface errors to every waiter
                 for r in batch:
                     r.error = f"{type(e).__name__}: {e}"
-            finally:
-                for r in batch:
-                    r.done.set()
-                self.stats["requests"] += len(batch)
-                self.stats["batches"] += 1
+                deferred = None
+            if deferred is not None:
+                # host-side result assembly (PNG encode, b64, response dicts)
+                # overlaps the NEXT batch's device work: the device-owner
+                # thread goes straight back to draining while an assembler
+                # thread finishes this batch (measured ~2-3 s/batch at B=32)
+                self._assembler_pool().submit(self._finish, batch, deferred)
+            else:
+                self._finalize(batch)
+
+    def _finish(self, batch: List[_Request], deferred) -> None:
+        try:
+            deferred()
+        except Exception as e:  # noqa: BLE001 — surface to every waiter
+            for r in batch:
+                r.error = f"{type(e).__name__}: {e}"
+        self._finalize(batch)
+
+    def _finalize(self, batch: List[_Request]) -> None:
+        for r in batch:
+            r.done.set()
+        self.stats["requests"] += len(batch)
+        self.stats["batches"] += 1
 
     @staticmethod
     def _pad(items: List[Any], bucket: int) -> List[Any]:
@@ -305,26 +337,30 @@ class Batcher:
                 )
                 out = self.pipe.layout_to_image(caps, groundings, seeds=seeds,
                                                 parallel_size=ps)
-            # PNG encode in parallel: PIL releases the GIL in the encoder and
-            # a serialized loop in the device-owner thread was a measured
-            # chunk of the batch cycle at batch 32
-            all_rows = sorted({c * bucket + i
-                               for i in range(len(batch)) for c in range(ps)})
-            encoded = dict(zip(all_rows, self._encoder_pool().map(
-                _png_b64, [out.images[j] for j in all_rows]
-            )))
-            for i, r in enumerate(batch):
-                # parallel_size rows are copy-major (pipeline._row_keys):
-                # request i's sample c sits at row c*bucket + i
-                rows = [c * bucket + i for c in range(ps)]
-                r.result = {
-                    "image_b64": encoded[rows[0]],
-                    "images_b64": [encoded[j] for j in rows],
-                    "grounding": groundings[i],
-                    "tokens": [int(t) for t in out.image_tokens[rows[0]]],
-                    "seed": seeds[i],
-                }
-            return
+            def assemble_generate(batch=batch, out=out, groundings=groundings,
+                                  seeds=seeds, ps=ps, bucket=bucket):
+                # PNG encode in parallel: PIL releases the GIL in the encoder
+                # and a serialized loop was a measured chunk of the batch
+                # cycle at batch 32
+                all_rows = sorted({c * bucket + i
+                                   for i in range(len(batch))
+                                   for c in range(ps)})
+                encoded = dict(zip(all_rows, self._encoder_pool().map(
+                    _png_b64, [out.images[j] for j in all_rows]
+                )))
+                for i, r in enumerate(batch):
+                    # parallel_size rows are copy-major (pipeline._row_keys):
+                    # request i's sample c sits at row c*bucket + i
+                    rows = [c * bucket + i for c in range(ps)]
+                    r.result = {
+                        "image_b64": encoded[rows[0]],
+                        "images_b64": [encoded[j] for j in rows],
+                        "grounding": groundings[i],
+                        "tokens": [int(t) for t in out.image_tokens[rows[0]]],
+                        "seed": seeds[i],
+                    }
+
+            return assemble_generate
 
         if mode == "edit":
             # layout-guided editing / removal: gt image + edit region
@@ -351,16 +387,18 @@ class Batcher:
                 neg_groundings=neg_groundings,
                 seeds=seeds,
             )
-            pngs = list(self._encoder_pool().map(
-                _png_b64, [out.images[i] for i in range(len(batch))]
-            ))
-            for i, r in enumerate(batch):
-                r.result = {
-                    "image_b64": pngs[i],
-                    "tokens": [int(t) for t in out.image_tokens[i]],
-                    "seed": seeds[i],
-                }
-            return
+            def assemble_edit(batch=batch, out=out, seeds=seeds):
+                pngs = list(self._encoder_pool().map(
+                    _png_b64, [out.images[i] for i in range(len(batch))]
+                ))
+                for i, r in enumerate(batch):
+                    r.result = {
+                        "image_b64": pngs[i],
+                        "tokens": [int(t) for t in out.image_tokens[i]],
+                        "seed": seeds[i],
+                    }
+
+            return assemble_edit
 
         raise ValueError(f"unknown mode {mode!r}")
 
