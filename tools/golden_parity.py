@@ -17,7 +17,14 @@ inputs and emits a token-level parity report:
           sampled stream as teacher-forced tokens and report our fp32 CFG
           probability of each injected token + top-1 agreement. Computed in
           ONE teacher-forced forward (mathematically identical to the
-          sequential loop's per-step logits, no cache needed).
+          sequential loop's per-step logits, no cache needed). When the
+          golden carries `token_probs` (capture_reference records the
+          reference's own probability of each sampled token), the mode
+          becomes a checked prob_match/prob_mismatch criterion.
+  losses  — per-flow training losses (forward_uni/plan/mmu) compared within
+          fp32 cross-framework tolerance.
+  prompts — exact token-id equality for every prompt wrapper + left-pad
+          batching (wrap_t2i/wrap_uni/stage-1/pad_input_ids).
 
 Usage (when checkpoints are available):
 
