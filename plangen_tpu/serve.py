@@ -104,7 +104,12 @@ class Batcher:
         self.max_batch = max_batch
         self.wait_s = wait_ms / 1000.0
         self.q: "queue.Queue[_Request]" = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "padded_rows": 0}
+        # device_s = device-owner time inside _run (dispatch + device +
+        # fetch); assembly_s = deferred host assembly (PNG/b64), overlapped
+        # with the next batch. Their ratio quantifies the serving-capacity
+        # gap to the device-only ceiling (DESIGN.md §11).
+        self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
+                      "device_s": 0.0, "assembly_s": 0.0}
         self._held: Optional[_Request] = None  # first request of the NEXT batch
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -263,12 +268,16 @@ class Batcher:
             batch = self._drain()
             if not batch:
                 continue
+            t0 = time.perf_counter()
             try:
                 deferred = self._run(batch)
             except Exception as e:  # surface errors to every waiter
                 for r in batch:
                     r.error = f"{type(e).__name__}: {e}"
                 deferred = None
+            self.stats["device_s"] = round(
+                self.stats["device_s"] + time.perf_counter() - t0, 3
+            )
             if deferred is not None:
                 # host-side result assembly (PNG encode, b64, response dicts)
                 # overlaps the NEXT batch's device work: the device-owner
@@ -279,11 +288,15 @@ class Batcher:
                 self._finalize(batch)
 
     def _finish(self, batch: List[_Request], deferred) -> None:
+        t0 = time.perf_counter()
         try:
             deferred()
         except Exception as e:  # noqa: BLE001 — surface to every waiter
             for r in batch:
                 r.error = f"{type(e).__name__}: {e}"
+        self.stats["assembly_s"] = round(
+            self.stats["assembly_s"] + time.perf_counter() - t0, 3
+        )
         self._finalize(batch)
 
     def _finalize(self, batch: List[_Request]) -> None:
