@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import importlib.util
 import json
+import os
 from typing import Optional
 
 from plangen_tpu.config import (
@@ -164,10 +165,22 @@ def main(argv=None) -> None:
     pc.set_defaults(fn=cmd_convert)
 
     args = p.parse_args(argv)
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache for EVERY entry point: serve/eval restarts
+    # otherwise pay the multi-minute remote compile for every (mode, bucket)
+    # program again (bench.py already did this; the serve warmups measured
+    # ~7 min of avoidable recompiles per restart)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     args.fn(args)
 
 
