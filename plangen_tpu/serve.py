@@ -109,7 +109,8 @@ class Batcher:
         # with the next batch. Their ratio quantifies the serving-capacity
         # gap to the device-only ceiling (DESIGN.md §11).
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
-                      "device_s": 0.0, "assembly_s": 0.0}
+                      "device_s": 0.0, "assembly_s": 0.0, "idle_s": 0.0}
+        self._last_run_end: Optional[float] = None
         self._held: Optional[_Request] = None  # first request of the NEXT batch
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -269,14 +270,22 @@ class Batcher:
             if not batch:
                 continue
             t0 = time.perf_counter()
+            if self._last_run_end is not None:
+                # time the device-owner spent OUTSIDE _run (drain + GIL
+                # contention with handler/assembler threads) — the
+                # inter-batch gap the DESIGN §11 breakdown tracks
+                self.stats["idle_s"] = round(
+                    self.stats["idle_s"] + t0 - self._last_run_end, 3
+                )
             try:
                 deferred = self._run(batch)
             except Exception as e:  # surface errors to every waiter
                 for r in batch:
                     r.error = f"{type(e).__name__}: {e}"
                 deferred = None
+            self._last_run_end = time.perf_counter()
             self.stats["device_s"] = round(
-                self.stats["device_s"] + time.perf_counter() - t0, 3
+                self.stats["device_s"] + self._last_run_end - t0, 3
             )
             if deferred is not None:
                 # host-side result assembly (PNG encode, b64, response dicts)
@@ -352,14 +361,15 @@ class Batcher:
                                                 parallel_size=ps)
             def assemble_generate(batch=batch, out=out, groundings=groundings,
                                   seeds=seeds, ps=ps, bucket=bucket):
-                # PNG encode in parallel: PIL releases the GIL in the encoder
-                # and a serialized loop was a measured chunk of the batch
-                # cycle at batch 32
+                # the device->host pixel fetch (pipe.defer_fetch) AND PNG
+                # encoding both happen here, overlapped with the next batch's
+                # device work; PIL releases the GIL in the encoder
+                images = np.asarray(out.images)
                 all_rows = sorted({c * bucket + i
                                    for i in range(len(batch))
                                    for c in range(ps)})
                 encoded = dict(zip(all_rows, self._encoder_pool().map(
-                    _png_b64, [out.images[j] for j in all_rows]
+                    _png_b64, [images[j] for j in all_rows]
                 )))
                 for i, r in enumerate(batch):
                     # parallel_size rows are copy-major (pipeline._row_keys):
@@ -401,8 +411,9 @@ class Batcher:
                 seeds=seeds,
             )
             def assemble_edit(batch=batch, out=out, seeds=seeds):
+                images = np.asarray(out.images)
                 pngs = list(self._encoder_pool().map(
-                    _png_b64, [out.images[i] for i in range(len(batch))]
+                    _png_b64, [images[i] for i in range(len(batch))]
                 ))
                 for i, r in enumerate(batch):
                     r.result = {
@@ -478,6 +489,10 @@ def serve(cfg, host: str = "127.0.0.1", port: int = 8000,
             )
         )
     pipe = build_pipeline(cfg, params=params)
+    # pixel fetch moves to the assembler thread (Batcher assemble closures
+    # np.asarray the deferred device array), overlapping the tunnel transfer
+    # with the next batch's device work
+    pipe.defer_fetch = True
     batcher = Batcher(pipe, max_batch=max_batch, wait_ms=wait_ms)
     httpd = ThreadingHTTPServer((host, port), make_handler(batcher))
     print(f"serving on http://{host}:{httpd.server_address[1]} "

@@ -115,19 +115,22 @@ class PlanGenPipeline:
         # predicate so a future mode cannot miss a decode path
         return self.gen.quantize in ("int8", "int4", "int4_a8")
 
+    # when True, _detokenize returns the DEVICE array without the host fetch;
+    # the consumer np.asarray's it on its own thread. Serving sets this so
+    # the ~0.5 s/batch tunnel fetch overlaps the next batch's device work
+    # (the assembler thread performs the conversion).
+    defer_fetch: bool = False
+
     def _detokenize(self, tokens) -> np.ndarray:
         """VQ ids -> pixels. With `gen.output_uint8` the uint8 conversion
         happens ON DEVICE (bit-identical to the host save formula), shrinking
         the device->host fetch 4x — that fetch, not the decoder compute,
         dominates detokenize wall time over the tunnel (docs/DESIGN.md)."""
         if self.gen.output_uint8:
-            return np.asarray(
-                _vq_decode_u8(self.params, self.cfg, tokens, self.grid)
-            )
-        return np.asarray(
-            _vq_decode(self.params, self.cfg, tokens, self.grid),
-            dtype=np.float32,
-        )
+            dev = _vq_decode_u8(self.params, self.cfg, tokens, self.grid)
+            return dev if self.defer_fetch else np.asarray(dev)
+        dev = _vq_decode(self.params, self.cfg, tokens, self.grid)
+        return dev if self.defer_fetch else np.asarray(dev, dtype=np.float32)
 
     # ------------------------------------------------------------------ plan
 
