@@ -378,3 +378,49 @@ class TestEditBoxes:
         })
         assert code2 == 200
         assert out2["tokens"] == out["tokens"]
+
+
+class TestDeferFetchServing:
+    """serve()'s production config: output_uint8 + defer_fetch — pixels leave
+    the device in the assembler thread, not the device-owner loop."""
+
+    def test_generate_and_edit_through_deferred_path(self):
+        import dataclasses
+
+        from plangen_tpu.config import GenerationConfig
+
+        tok = ByteFallbackTokenizer(vocab_size=TINY.llama.vocab_size)
+        params = vlm.init(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+        proc = PlanGenProcessor(
+            tok, image_tokens=TINY.image_seq_len,
+            gen=GenerationConfig(max_new_text_tokens=4, output_uint8=True),
+        )
+        pipe = PlanGenPipeline(params, TINY, proc)
+        pipe.defer_fetch = True
+        batcher = Batcher(pipe, max_batch=2, wait_ms=10.0)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            code, out = post(base, "/generate", {
+                "caption": "x", "grounding": G, "seed": 11,
+            })
+            assert code == 200
+            img = base64.b64decode(out["image_b64"])
+            assert img[:8] == b"\x89PNG\r\n\x1a\n"
+            # reproducible through the deferred path
+            code2, out2 = post(base, "/generate", {
+                "caption": "x", "grounding": G, "seed": 11,
+            })
+            assert out2["tokens"] == out["tokens"]
+            # stats carry the phase columns
+            import urllib.request
+
+            with urllib.request.urlopen(base + "/healthz", timeout=5) as r:
+                stats = json.loads(r.read())["stats"]
+            for k in ("device_s", "assembly_s", "idle_s"):
+                assert k in stats
+        finally:
+            httpd.shutdown()
+            batcher.close()
