@@ -110,7 +110,20 @@ class Batcher:
         # gap to the device-only ceiling (DESIGN.md §11).
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
                       "device_s": 0.0, "assembly_s": 0.0, "idle_s": 0.0}
+        # stats are read-modify-written from the device-owner thread AND the
+        # assembler workers — guard every update
+        self._stats_lock = threading.Lock()
         self._last_run_end: Optional[float] = None
+        # pools are created EAGERLY: lazy check-then-create would race once
+        # assembler workers call _encoder_pool concurrently
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._png_pool = ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="plangen-png"
+        )
+        self._asm_pool = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="plangen-assemble"
+        )
         self._held: Optional[_Request] = None  # first request of the NEXT batch
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -149,24 +162,12 @@ class Batcher:
         return reg
 
     def _encoder_pool(self):
-        if getattr(self, "_png_pool", None) is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._png_pool = ThreadPoolExecutor(
-                max_workers=8, thread_name_prefix="plangen-png"
-            )
         return self._png_pool
 
     def _assembler_pool(self):
         # SEPARATE from the PNG pool: assemblers block on encoder_pool.map,
         # so sharing one pool could fill every worker with waiting
         # assemblers and deadlock
-        if getattr(self, "_asm_pool", None) is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._asm_pool = ThreadPoolExecutor(
-                max_workers=2, thread_name_prefix="plangen-assemble"
-            )
         return self._asm_pool
 
     def submit(self, mode: str, payload: Dict[str, Any]) -> _Request:
@@ -183,11 +184,13 @@ class Batcher:
 
     def close(self):
         self._stop.set()
-        self._thread.join(timeout=5)
-        if getattr(self, "_asm_pool", None) is not None:
-            self._asm_pool.shutdown(wait=True)  # let in-flight results land
-        if getattr(self, "_png_pool", None) is not None:
-            self._png_pool.shutdown(wait=False)
+        # a serving batch holds _run for ~8 s; join long enough that the
+        # device-owner exits BEFORE the assembler pool shuts down (a submit
+        # after shutdown would otherwise orphan the in-flight batch — the
+        # _loop submit has an inline fallback for that case too)
+        self._thread.join(timeout=60)
+        self._asm_pool.shutdown(wait=True)  # let in-flight results land
+        self._png_pool.shutdown(wait=False)
 
     # ------------------------------------------------------------- internals
 
@@ -271,12 +274,14 @@ class Batcher:
                 continue
             t0 = time.perf_counter()
             if self._last_run_end is not None:
-                # time the device-owner spent OUTSIDE _run (drain + GIL
-                # contention with handler/assembler threads) — the
-                # inter-batch gap the DESIGN §11 breakdown tracks
-                self.stats["idle_s"] = round(
-                    self.stats["idle_s"] + t0 - self._last_run_end, 3
-                )
+                # time the device-owner spent OUTSIDE _run. Under SATURATING
+                # load this is the drain/GIL inter-batch gap the DESIGN §11
+                # breakdown tracks; off-saturation it is dominated by
+                # waiting for traffic and means nothing.
+                with self._stats_lock:
+                    self.stats["idle_s"] = round(
+                        self.stats["idle_s"] + t0 - self._last_run_end, 3
+                    )
             try:
                 deferred = self._run(batch)
             except Exception as e:  # surface errors to every waiter
@@ -284,15 +289,21 @@ class Batcher:
                     r.error = f"{type(e).__name__}: {e}"
                 deferred = None
             self._last_run_end = time.perf_counter()
-            self.stats["device_s"] = round(
-                self.stats["device_s"] + self._last_run_end - t0, 3
-            )
+            with self._stats_lock:
+                self.stats["device_s"] = round(
+                    self.stats["device_s"] + self._last_run_end - t0, 3
+                )
             if deferred is not None:
                 # host-side result assembly (PNG encode, b64, response dicts)
                 # overlaps the NEXT batch's device work: the device-owner
                 # thread goes straight back to draining while an assembler
                 # thread finishes this batch (measured ~2-3 s/batch at B=32)
-                self._assembler_pool().submit(self._finish, batch, deferred)
+                try:
+                    self._assembler_pool().submit(self._finish, batch, deferred)
+                except RuntimeError:
+                    # pool already shut down (close() racing a final batch):
+                    # finish inline so every waiter is still released
+                    self._finish(batch, deferred)
             else:
                 self._finalize(batch)
 
@@ -303,16 +314,18 @@ class Batcher:
         except Exception as e:  # noqa: BLE001 — surface to every waiter
             for r in batch:
                 r.error = f"{type(e).__name__}: {e}"
-        self.stats["assembly_s"] = round(
-            self.stats["assembly_s"] + time.perf_counter() - t0, 3
-        )
+        with self._stats_lock:
+            self.stats["assembly_s"] = round(
+                self.stats["assembly_s"] + time.perf_counter() - t0, 3
+            )
         self._finalize(batch)
 
     def _finalize(self, batch: List[_Request]) -> None:
         for r in batch:
             r.done.set()
-        self.stats["requests"] += len(batch)
-        self.stats["batches"] += 1
+        with self._stats_lock:
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
 
     @staticmethod
     def _pad(items: List[Any], bucket: int) -> List[Any]:

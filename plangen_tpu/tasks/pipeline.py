@@ -130,7 +130,11 @@ class PlanGenPipeline:
             dev = _vq_decode_u8(self.params, self.cfg, tokens, self.grid)
             return dev if self.defer_fetch else np.asarray(dev)
         dev = _vq_decode(self.params, self.cfg, tokens, self.grid)
-        return dev if self.defer_fetch else np.asarray(dev, dtype=np.float32)
+        if self.defer_fetch:
+            # device-side cast so the consumer's bare np.asarray yields the
+            # same float32 pixels as the non-deferred branch
+            return dev.astype(jnp.float32)
+        return np.asarray(dev, dtype=np.float32)
 
     # ------------------------------------------------------------------ plan
 

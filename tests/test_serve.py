@@ -385,8 +385,6 @@ class TestDeferFetchServing:
     the device in the assembler thread, not the device-owner loop."""
 
     def test_generate_and_edit_through_deferred_path(self):
-        import dataclasses
-
         from plangen_tpu.config import GenerationConfig
 
         tok = ByteFallbackTokenizer(vocab_size=TINY.llama.vocab_size)
