@@ -507,7 +507,14 @@ def serve(cfg, host: str = "127.0.0.1", port: int = 8000,
     # with the next batch's device work
     pipe.defer_fetch = True
     batcher = Batcher(pipe, max_batch=max_batch, wait_ms=wait_ms)
-    httpd = ThreadingHTTPServer((host, port), make_handler(batcher))
+
+    class _Server(ThreadingHTTPServer):
+        # default listen backlog is 5: a burst of max_batch concurrent
+        # connections (the NORMAL arrival pattern for a batching server)
+        # overflows it and clients see connection resets
+        request_queue_size = max(128, 4 * max_batch)
+
+    httpd = _Server((host, port), make_handler(batcher))
     print(f"serving on http://{host}:{httpd.server_address[1]} "
           f"(max_batch={max_batch}, wait_ms={wait_ms})", flush=True)
     try:

@@ -160,7 +160,10 @@ def main(argv=None) -> int:
         )
         pipe = build_pipeline(cfg)
         batcher = Batcher(pipe, max_batch=args.max_batch, wait_ms=args.wait_ms)
-        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher))
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128  # open-loop bursts exceed the default 5
+
+        httpd = _Server(("127.0.0.1", 0), make_handler(batcher))
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
         args.url = f"http://127.0.0.1:{httpd.server_address[1]}"
         args.hw = cfg.model.vision.image_size
