@@ -275,3 +275,20 @@ class TestThreadSafety:
         with ThreadPoolExecutor(max_workers=8) as ex:
             got = list(ex.map(nat.encode, texts))
         assert got == expect
+
+
+class TestNativeBPEUnicode:
+    def test_unicode_matches_hf(self, trained):
+        """Multibyte UTF-8 (accents, CJK, emoji) must produce identical ids
+        to the HF tokenizers library — byte-level BPE splits them into byte
+        tokens regardless of script."""
+        from tokenizers import Tokenizer
+
+        from plangen_tpu.text.bpe_native import NativeBPE
+
+        _, path = trained  # (Tokenizer, json path)
+        hf = Tokenizer.from_file(str(path))
+        nat = NativeBPE(str(path))
+        for s in ["café ☕", "日本語のキャプション", "emoji 🐕🎾 done",
+                  "Ångström χ² → résumé"]:
+            assert list(nat.encode(s)) == hf.encode(s).ids, s

@@ -237,3 +237,33 @@ class TestCfgNegGroundings:
         # rows interleave cond/neg: the neg rows (odd) must differ
         assert with_g.shape[0] == 2 and without_g.shape[0] == 2
         assert not (with_g[1].tolist() == without_g[1].tolist())
+
+
+class TestUnicode:
+    """Byte-level tokenization must carry arbitrary unicode captions/labels —
+    the reference's datasets contain non-ASCII descriptions and the byte-level
+    BPE handles them by construction; pin that property."""
+
+    CASES = ["café ☕", "日本語のキャプション", "emoji 🐕🎾", "Ångström χ²"]
+
+    def test_byte_fallback_roundtrip(self):
+        from plangen_tpu.text.tokenizer import ByteFallbackTokenizer
+
+        tok = ByteFallbackTokenizer(vocab_size=512)
+        for s in self.CASES:
+            ids = tok.encode(s, add_bos=False)
+            assert tok.decode(ids) == s
+
+    def test_grounding_roundtrip_with_unicode_labels(self):
+        from plangen_tpu.text.grounding import (
+            parse_grounding, serialize_grounding,
+        )
+        from plangen_tpu.text.tokenizer import ByteFallbackTokenizer
+
+        tok = ByteFallbackTokenizer(vocab_size=512)
+        g = serialize_grounding(
+            "café scène", [(0.1, 0.2, 0.3, 0.4)], ["un château 🏰"]
+        )
+        boxes, descs = parse_grounding(tok.decode(tok.encode(g, add_bos=False)))
+        assert descs == ["un château 🏰"]
+        assert boxes == [(0.1, 0.2, 0.3, 0.4)]
