@@ -63,11 +63,14 @@ def make_random_fixture(path: Path, cfg: PlanGenModelConfig, seed=0) -> Path:
 
 
 class TestCrossImplementationParity:
-    @pytest.fixture(scope="class")
-    def goldens(self, tmp_path_factory):
-        d = tmp_path_factory.mktemp("janus_xtiny")
-        make_random_fixture(d, PlanGenModelConfig.tiny())
-        out = tmp_path_factory.mktemp("goldens_ref")
+    # two independent random checkpoints: exact-match claims at a single
+    # seed could hide an argmax-tie fluke
+    @pytest.fixture(scope="class", params=[0, 3])
+    def goldens(self, request, tmp_path_factory):
+        seed = request.param
+        d = tmp_path_factory.mktemp(f"janus_xtiny{seed}")
+        make_random_fixture(d, PlanGenModelConfig.tiny(), seed=seed)
+        out = tmp_path_factory.mktemp(f"goldens_ref{seed}")
         proc = subprocess.run(
             [
                 sys.executable, str(REPO / "tools/capture_reference.py"),
