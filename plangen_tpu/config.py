@@ -415,7 +415,11 @@ def validate_config(cfg: "PlanGenConfig") -> "PlanGenConfig":
 def _parse_value(text: str) -> Any:
     # lowercase true/false/none would otherwise literal-eval-fail and survive
     # as TRUTHY strings — `--opt generation.jacobi=false` silently enabling
-    # the flag is exactly the misconfig this guards against
+    # the flag is exactly the misconfig this guards against.
+    # RESERVED LITERALS: bare true/false/none/null (any case) always coerce,
+    # so a string-typed field cannot be set to those words bare; quote the
+    # value to keep the string — `--opt generation.neg_prompt='"none"'`
+    # literal-evals to the 4-char string (tests/test_cli.py pins this).
     low = text.strip().lower()
     if low in ("true", "false"):
         return low == "true"

@@ -170,19 +170,32 @@ def _layer(
     paged: bool = False,  # Pallas prefix kernel: DMA only the live cache chunks
     seg_write: Optional[int] = None,  # segmented cache: segment being written
     kv_a8: bool = False,  # s8 x s8 MXU decode attention over the int8 cache
+    ablate: frozenset = frozenset(),  # DIAGNOSTIC ONLY (tools/bench_step_budget
+    # .py): drop a component from the step so its cost is the measured delta
+    # vs the full program. "qkvo" = skip q/k/v/o projections, "attn" = skip
+    # the cache READ + softmax (writes kept), "mlp" = skip the MLP block.
+    # Ablated programs are numerically meaningless; never set in product paths.
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     B, Q, _ = x.shape
     a8 = kv_a8 and Q == 1  # decode steps only: prefill is already MXU-efficient
     xin = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-    q = (qmatmul(xin, p["q_proj"]) + _lora_delta(lora, "q_proj", xin)).reshape(
-        B, Q, cfg.num_heads, cfg.head_dim
-    )
-    k = (qmatmul(xin, p["k_proj"]) + _lora_delta(lora, "k_proj", xin)).reshape(
-        B, Q, cfg.num_kv_heads, cfg.head_dim
-    )
-    v = (qmatmul(xin, p["v_proj"]) + _lora_delta(lora, "v_proj", xin)).reshape(
-        B, Q, cfg.num_kv_heads, cfg.head_dim
-    )
+    if "qkvo" in ablate:
+        # identity projections: the attention read/write traffic survives,
+        # the four projection matmuls (and their weight reads) are DCE'd
+        assert cfg.q_dim == cfg.hidden_size and cfg.kv_dim == cfg.hidden_size
+        q = xin.reshape(B, Q, cfg.num_heads, cfg.head_dim)
+        k = xin.reshape(B, Q, cfg.num_kv_heads, cfg.head_dim)
+        v = xin.reshape(B, Q, cfg.num_kv_heads, cfg.head_dim)
+    else:
+        q = (qmatmul(xin, p["q_proj"]) + _lora_delta(lora, "q_proj", xin)).reshape(
+            B, Q, cfg.num_heads, cfg.head_dim
+        )
+        k = (qmatmul(xin, p["k_proj"]) + _lora_delta(lora, "k_proj", xin)).reshape(
+            B, Q, cfg.num_kv_heads, cfg.head_dim
+        )
+        v = (qmatmul(xin, p["v_proj"]) + _lora_delta(lora, "v_proj", xin)).reshape(
+            B, Q, cfg.num_kv_heads, cfg.head_dim
+        )
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -238,7 +251,12 @@ def _layer(
                 else:
                     seg_kv.append((sl(s["k"]), sl(s["v"])))
             # fall through to the shared o_proj/MLP tail at the end
-            attn = segmented_decode_attention(q, seg_kv, bias, a8=a8 and quantized)
+            if "attn" in ablate:
+                attn = q  # cache reads + softmax DCE'd; writes above survive
+            else:
+                attn = segmented_decode_attention(
+                    q, seg_kv, bias, a8=a8 and quantized
+                )
             new_cache = {"segs": segs}
         elif "k_scale" in cache_dict:
             from plangen_tpu.ops.attention import (
@@ -258,15 +276,18 @@ def _layer(
                 ),
             }
             sl = lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, 0, keepdims=False)
-            attn = dot_product_attention_q8(
-                q,
-                sl(cache_dict["k"]),
-                sl(cache_dict["k_scale"]),
-                sl(cache_dict["v"]),
-                sl(cache_dict["v_scale"]),
-                bias=bias,
-                a8=a8,
-            )
+            if "attn" in ablate:
+                attn = q
+            else:
+                attn = dot_product_attention_q8(
+                    q,
+                    sl(cache_dict["k"]),
+                    sl(cache_dict["k_scale"]),
+                    sl(cache_dict["v"]),
+                    sl(cache_dict["v_scale"]),
+                    bias=bias,
+                    a8=a8,
+                )
             new_cache = cache_dict
         else:
             cache_dict = {
@@ -304,6 +325,8 @@ def _layer(
                 attn = chunked_decode_attention(
                     q, k_full, v_full, attn_mask, write_at
                 )
+            elif "attn" in ablate:
+                attn = q
             else:
                 attn = dot_product_attention(q, k_full, v_full, bias=bias)
             new_cache = cache_dict
@@ -317,8 +340,12 @@ def _layer(
         new_cache = None
 
     attn = attn.reshape(B, Q, cfg.q_dim)
-    x = x + qmatmul(attn, p["o_proj"]) + _lora_delta(lora, "o_proj", attn)
-    x = x + mlp_block(p, rms_norm(x, p["post_attn_norm"], cfg.rms_norm_eps))
+    if "qkvo" in ablate:
+        x = x + attn
+    else:
+        x = x + qmatmul(attn, p["o_proj"]) + _lora_delta(lora, "o_proj", attn)
+    if "mlp" not in ablate:
+        x = x + mlp_block(p, rms_norm(x, p["post_attn_norm"], cfg.rms_norm_eps))
     return x, new_cache
 
 
@@ -356,6 +383,8 @@ def forward(
     layers_limit: Optional[int] = None,  # early exit after the first K layers
     # (self-speculative drafting, runtime/speculative.py); final norm still
     # applies, cache rows are written for layers [0, K) only
+    ablate: frozenset = frozenset(),  # diagnostic component ablation
+    # (see _layer; cached decode path only — tools/bench_step_budget.py)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack (final RMSNorm applied, no head).
 
@@ -454,7 +483,7 @@ def forward(
                 layer_p, cfg, x, bias, cos, sin, (cache, l), write_at,
                 lora=with_scale(lora_slice), chunked=chunked,
                 attn_mask=attn_mask, paged=paged, seg_write=seg_write,
-                kv_a8=kv_a8,
+                kv_a8=kv_a8, ablate=ablate,
             )
             return x, cache
 

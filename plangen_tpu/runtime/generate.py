@@ -72,7 +72,7 @@ class ImageGenResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "num_tokens", "quantized_cache", "chunked", "paged",
-        "growing_cache", "kv_a8",
+        "growing_cache", "kv_a8", "ablate",
     ),
     donate_argnames=(),
 )
@@ -93,6 +93,11 @@ def generate_image_tokens(
     paged: bool = False,  # Pallas prefix-DMA decode attention (True=v2, "v3")
     growing_cache: bool = False,  # phased cache growth (banks dead reads in XLA)
     kv_a8: bool = False,  # s8 x s8 MXU decode attention over the int8 cache
+    ablate: tuple = (),  # DIAGNOSTIC ONLY: component ablation for the
+    # per-step time budget (tools/bench_step_budget.py). Members: "head"
+    # (skip gen_head + CFG + sampling; a counter token is fed back), plus
+    # the llama._layer ablations "attn"/"mlp"/"qkvo". Outputs are
+    # numerically meaningless under any ablation.
 ) -> ImageGenResult:
     """Fused CFG image-token generation: prefill + 576-step scan in one program.
 
@@ -130,18 +135,27 @@ def generate_image_tokens(
         regen_mask = jnp.ones((B, num_tokens), dtype=jnp.int32)
     assert regen_mask is not None
 
+    ablate_set = frozenset(ablate)
+
     def make_step(phase_mask, seg=None):
         def step(carry, i):
             last_hidden, cache, key = carry
-            logits = vlm.image_gen_logits(params, last_hidden)  # [2B, V] fp32
-            combined = cfg_combine(logits, cfg_weight)  # [B, V]
-            # positional fold_in (not sequential splits): the sampled stream
-            # is then invariant to how frozen runs are batched, so the
-            # fast-edit path (runtime/fast_edit.py) is token-identical;
-            # `key` may be per-row [B, 2] (serving reproducibility)
-            sub = fold_step(key, i)
-            token = sample_categorical(sub, combined, temperature)  # [B]
-            token = apply_teacher_forcing(token, gt_tokens[:, i], regen_mask[:, i])
+            if "head" in ablate_set:
+                # diagnostic: constant-ish token feed; gen_head weights,
+                # CFG combine and sampling are DCE'd out of the program
+                token = jnp.broadcast_to((i % 1024).astype(jnp.int32), (B,))
+            else:
+                logits = vlm.image_gen_logits(params, last_hidden)  # [2B, V] fp32
+                combined = cfg_combine(logits, cfg_weight)  # [B, V]
+                # positional fold_in (not sequential splits): the sampled
+                # stream is then invariant to how frozen runs are batched, so
+                # the fast-edit path (runtime/fast_edit.py) is token-identical;
+                # `key` may be per-row [B, 2] (serving reproducibility)
+                sub = fold_step(key, i)
+                token = sample_categorical(sub, combined, temperature)  # [B]
+                token = apply_teacher_forcing(
+                    token, gt_tokens[:, i], regen_mask[:, i]
+                )
             # duplicate for cond/uncond rows (plangen_base.py:602-604)
             pair_token = jnp.repeat(token, 2, axis=0)  # [2B]
             next_embeds = vlm.gen_img_embeds(params, pair_token[:, None])
@@ -161,6 +175,7 @@ def generate_image_tokens(
                 chunked=chunked,
                 paged=paged,
                 kv_a8=kv_a8,
+                ablate=ablate_set,
                 **seg_kwargs,
             )
             return (hidden[:, -1], new_cache, key), token

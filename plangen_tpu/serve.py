@@ -124,6 +124,11 @@ class Batcher:
         self._asm_pool = ThreadPoolExecutor(
             max_workers=2, thread_name_prefix="plangen-assemble"
         )
+        # backpressure: each deferred batch pins its full device-output
+        # buffers (defer_fetch keeps pixels on device) until assembly fetches
+        # them, so in-flight deferrals are bounded — the device-owner BLOCKS
+        # here instead of queueing unboundedly when assembly falls behind
+        self._defer_sem = threading.Semaphore(2)
         self._held: Optional[_Request] = None  # first request of the NEXT batch
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -178,7 +183,10 @@ class Batcher:
         self._req_seed(req)
         self._req_ps(req)
         if mode == "edit":
-            self._edit_region(payload)  # shape/values validated per request
+            # validate AND cache: the rasterized region replaces any
+            # "edit_boxes" so _run doesn't re-run build_edit_region on the
+            # device-owner thread (it re-validates the cheap array form)
+            payload["edit_region"] = self._edit_region(payload).tolist()
         self.q.put(req)
         return req
 
@@ -297,7 +305,9 @@ class Batcher:
                 # host-side result assembly (PNG encode, b64, response dicts)
                 # overlaps the NEXT batch's device work: the device-owner
                 # thread goes straight back to draining while an assembler
-                # thread finishes this batch (measured ~2-3 s/batch at B=32)
+                # thread finishes this batch (measured ~2-3 s/batch at B=32).
+                # The semaphore bounds in-flight deferrals (see __init__).
+                self._defer_sem.acquire()
                 try:
                     self._assembler_pool().submit(self._finish, batch, deferred)
                 except RuntimeError:
@@ -314,6 +324,8 @@ class Batcher:
         except Exception as e:  # noqa: BLE001 — surface to every waiter
             for r in batch:
                 r.error = f"{type(e).__name__}: {e}"
+        finally:
+            self._defer_sem.release()
         with self._stats_lock:
             self.stats["assembly_s"] = round(
                 self.stats["assembly_s"] + time.perf_counter() - t0, 3
@@ -335,7 +347,8 @@ class Batcher:
         mode = batch[0].mode
         n = len(batch)
         bucket = self._bucket(n)
-        self.stats["padded_rows"] += bucket - n
+        with self._stats_lock:
+            self.stats["padded_rows"] += bucket - n
 
         if mode == "plan":
             caps = self._pad([r.payload["caption"] for r in batch], bucket)

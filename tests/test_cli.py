@@ -25,6 +25,12 @@ class TestLoadConfig:
         cfg = load_config(None, ["params_path=none"])
         assert cfg.params_path is None
 
+    def test_quoted_reserved_literal_stays_string(self):
+        # bare true/false/none/null are reserved (they coerce); quoting is
+        # the documented escape for string-typed fields (config._parse_value)
+        cfg = load_config(None, ['generation.neg_prompt="none"'])
+        assert cfg.generation.neg_prompt == "none"
+
     def test_flow_dict_normalization(self):
         cfg = load_config(
             None,
