@@ -204,6 +204,30 @@ class PlanGenModelConfig:
             gen_embed_dim=8,
         )
 
+    @staticmethod
+    def tiny_7b() -> "PlanGenModelConfig":
+        """CPU-testable model with the 7B family member's SHAPE relationships
+        (janus_pro_7b: deeper stack, more heads, non-2x MLP ratio, wider
+        image_token_embed) at tiny dims — cross-implementation parity on this
+        preset proves no 1B dimension is hardcoded anywhere in the stack
+        (three_party/Janus/README.md:115 lists the 7B member)."""
+        t = PlanGenModelConfig.tiny()
+        return dataclasses.replace(
+            t,
+            llama=LlamaConfig(
+                vocab_size=512,
+                hidden_size=96,
+                intermediate_size=224,   # ~2.33x, like 11008/4096
+                num_layers=3,            # deeper than tiny's 2
+                num_heads=6,             # 7B: more heads, same head_dim story
+                num_kv_heads=6,
+                head_dim=16,
+            ),
+            aligner=dataclasses.replace(t.aligner, n_embed=96),
+            gen_aligner=dataclasses.replace(t.gen_aligner, n_embed=96),
+            image_token_embed=96,
+        )
+
 
 # ---------------------------------------------------------------------------
 # Generation / task / train configs
@@ -468,11 +492,17 @@ def _set_path(node: Any, parts: Sequence[str], value: Any) -> Any:
 
 
 def parse_opt_list(opts: List[str]) -> Dict[str, Any]:
-    """Parse ['a.b=1', 'c=x'] CLI fragments into an override dict."""
+    """Split ['a.b=1', 'c=x'] CLI fragments into an override dict.
+
+    Values stay RAW strings: `apply_overrides` runs `_parse_value` exactly
+    once. Parsing here too would double-parse — a quoted reserved literal
+    (`neg_prompt='"none"'`) would literal-eval to the bare word and then
+    coerce to None on the second pass (regression pinned in tests/test_cli).
+    """
     out: Dict[str, Any] = {}
     for item in opts:
         if "=" not in item:
             raise ValueError(f"override {item!r} must be key=value")
         key, _, val = item.partition("=")
-        out[key.strip()] = _parse_value(val.strip())
+        out[key.strip()] = val.strip()
     return out

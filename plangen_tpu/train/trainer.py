@@ -43,6 +43,7 @@ class Trainer:
         self.cfg = cfg
         tcfg = cfg.train
 
+        self.is_lead = jax.process_index() == 0
         self.mesh = create_mesh(tcfg.mesh_shape)
         self.tokenizer = load_tokenizer(
             cfg.janus_path,
@@ -129,16 +130,24 @@ class Trainer:
             os.path.join(tcfg.output_dir, "checkpoints"),
             total_limit=tcfg.checkpoints_total_limit,
         )
+        # multi-process runs share ONE output_dir (orbax coordinates the
+        # checkpoint writes across processes); host-side artifacts that are
+        # NOT orbax-coordinated (metrics.jsonl, params.jsonl) are written by
+        # the lead process only — matching Accelerate's is_main_process
+        # gating in the reference (train.py:199-210)
         self.logger = MetricsLogger(tcfg.output_dir)
         self._batch_sharding = batch_sharding(self.mesh)
 
     def _dump_trainable_names(self):
         """Write trainable parameter names+shapes to params.jsonl
-        (reference: base_system.py:215-216)."""
+        (reference: base_system.py:215-216). Lead process only — every
+        process holds the same (replicated/sharded) tree."""
         import json
 
         import jax
 
+        if not self.is_lead:
+            return
         os.makedirs(self.cfg.train.output_dir, exist_ok=True)
         path = os.path.join(self.cfg.train.output_dir, "params.jsonl")
         with open(path, "w") as f:
@@ -237,7 +246,8 @@ class Trainer:
                 dt = (time.perf_counter() - t_step) / (10 if step > start else 1)
                 t_step = time.perf_counter()
                 metrics["sec_per_step"] = dt
-                self.logger.log(step + 1, metrics)
+                if self.is_lead:
+                    self.logger.log(step + 1, metrics)
                 last_metrics = metrics
                 # failure detection at the logging cadence (the only host
                 # sync): a non-finite loss has already poisoned the Adam

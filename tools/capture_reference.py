@@ -540,6 +540,15 @@ def main(argv=None) -> int:
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--tiny", action="store_true",
                     help="dry run: patch constructors for the tiny fixture")
+    ap.add_argument("--tiny-preset", default="tiny",
+                    choices=["tiny", "tiny_7b"],
+                    help="which tiny dims the fixture was built with "
+                         "(tiny_7b = 7B family-member shape relationships)")
+    ap.add_argument("--numhw", action="store_true",
+                    help="numhw coordinate mode (use_textual=False + "
+                         "use_numhw_tokens=True): 200 <hN>/<wN> tokenizer "
+                         "tokens, pinned groundings re-serialized to 0-99 "
+                         "coords (plangen_base.py:121-127)")
     ap.add_argument("--force-fp32", action="store_true",
                     help="neutralize the reference's hardcoded .bfloat16() "
                          "casts (modeling_vlm.py:250) so a float32 CPU dry "

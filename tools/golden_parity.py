@@ -74,6 +74,21 @@ PINNED_RM_NEG = "<ref>a silver fork</ref><box>[600, 400, 900, 700]</box>"
 PINNED_QUESTION = None  # mmu default question from the chat template
 
 
+def to_numhw_grounding(s: str) -> str:
+    """The SAME pinned layout serialized for numhw mode (use_textual=False):
+    0-999 int lists become `<box><hN>,<wN>,<hN>,<wN></box>` with 0-99 coords
+    (reference data_hico.py:165-180 / plangen_base.py:121-127). Both parity
+    sides derive their numhw inputs through this one function so the pinned
+    boxes stay locked together."""
+    from plangen_tpu.text.grounding import parse_grounding, serialize_grounding
+
+    boxes, descs = parse_grounding(s, textual=True)
+    out = serialize_grounding("", boxes, descs, textual=False)
+    if "<grounding>" not in s:  # bare ref/box fragment (PINNED_RM_NEG form)
+        out = out.removeprefix("<grounding>").removesuffix("</grounding>")
+    return out
+
+
 def pinned_image(size: int, seed: int = 0) -> np.ndarray:
     """Deterministic pseudo-image in [-1, 1]; identical on every platform."""
     r = np.random.RandomState(seed)
