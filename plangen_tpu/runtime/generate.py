@@ -142,8 +142,15 @@ def generate_image_tokens(
             last_hidden, cache, key = carry
             if "head" in ablate_set:
                 # diagnostic: constant-ish token feed; gen_head weights,
-                # CFG combine and sampling are DCE'd out of the program
-                token = jnp.broadcast_to((i % 1024).astype(jnp.int32), (B,))
+                # CFG combine and sampling are DCE'd out of the program.
+                # The probe (always 0, not constant-foldable) keeps the
+                # token data-dependent on last_hidden so XLA cannot DCE the
+                # transformer stack itself along with the head.
+                probe = (jnp.max(last_hidden[:, 0]) > jnp.bfloat16(1e9))
+                token = jnp.broadcast_to(
+                    (i % 1024).astype(jnp.int32) + probe.astype(jnp.int32),
+                    (B,),
+                )
             else:
                 logits = vlm.image_gen_logits(params, last_hidden)  # [2B, V] fp32
                 combined = cfg_combine(logits, cfg_weight)  # [B, V]

@@ -129,7 +129,12 @@ def main() -> None:
 
         row = {"config": name, "batch": B}
         times = {}
-        for vname, abl in VARIANTS.items():
+        only = os.environ.get("BUDGET_VARIANTS")
+        variants = {
+            v: a for v, a in VARIANTS.items()
+            if only is None or v in only.split(",")
+        }
+        for vname, abl in variants.items():
             def run(seed):
                 out = generate_image_tokens(
                     params, cfg, embeds, mask,
@@ -169,10 +174,6 @@ def main() -> None:
                     row[f"{cname}_ms"] = round(comp[cname] * 1e3, 3)
             if "base" in times:
                 row["base_ms"] = round(times["base"] * 1e3, 3)
-                if len(comp) == 3:
-                    row["sum_check_ms"] = round(
-                        (times["base"] + sum(comp.values())) * 1e3, 3
-                    )
             floors = _component_floors(cfg, B, wmode or "bf16", kv_int8, L)
             for k, v in floors.items():
                 row[k.replace("floor", "floor_ms").replace("bound", "bound_ms")] \
@@ -187,17 +188,34 @@ def main() -> None:
                 )
         rows.append(row)
         print(json.dumps(row), flush=True)
+        # read-MERGE-write per (config, batch): a BUDGET_VARIANTS subset run
+        # (e.g. "full,nohead,base" after an ablation-graph fix) updates only
+        # its measured fields, keeping same-day deltas for the rest
         doc = json.loads(out_path.read_text()) if out_path.exists() else {}
+        old_rows = doc.get("step_budget", {}).get("rows", [])
+        by_key = {(r["config"], r["batch"]): dict(r) for r in old_rows}
+        for r in rows:
+            merged = by_key.setdefault((r["config"], r["batch"]), {})
+            merged.update(r)
+            parts = [merged.get(k) for k in
+                     ("head_ms", "attn_ms", "mats_ms", "base_ms")]
+            if all(isinstance(p, (int, float)) for p in parts):
+                merged["sum_check_ms"] = round(sum(parts), 3)
         doc["step_budget"] = {
             "note": (
                 "per-component decode-step budget by ablation of the real "
                 "program (tools/bench_step_budget.py); *_ms costs are deltas "
-                "vs the full program, attn_elem_bound is the measured MXU "
-                "M=1 stream rate (356e9 elem/s), byte floors are DESIGN.md "
-                "section 1"
+                "vs the full program (head = gen_head+CFG+sampling, attn = "
+                "cache read+softmax+PV, mats = q/k/v/o+MLP weights), base_ms "
+                "is the all-ablated program (loop/embeds/norms/cache writes), "
+                "sum_check vs full_ms shows the fusion interaction term; "
+                "attn_elem_bound is the measured MXU M=1 stream rate (356e9 "
+                "elem/s), byte floors are DESIGN.md section 1"
             ),
             "prompt_len": L,
-            "rows": rows,
+            "rows": sorted(
+                by_key.values(), key=lambda r: (r["config"], r["batch"])
+            ),
         }
         out_path.write_text(json.dumps(doc, indent=1))
 
