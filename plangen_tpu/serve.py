@@ -109,7 +109,8 @@ class Batcher:
         # with the next batch. Their ratio quantifies the serving-capacity
         # gap to the device-only ceiling (DESIGN.md §11).
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
-                      "device_s": 0.0, "assembly_s": 0.0, "idle_s": 0.0}
+                      "prep_s": 0.0, "device_s": 0.0, "assembly_s": 0.0,
+                      "idle_s": 0.0}
         # stats are read-modify-written from the device-owner thread AND the
         # assembler workers — guard every update
         self._stats_lock = threading.Lock()
@@ -131,8 +132,19 @@ class Batcher:
         self._defer_sem = threading.Semaphore(2)
         self._held: Optional[_Request] = None  # first request of the NEXT batch
         self._stop = threading.Event()
+        # two-stage pipeline: the PREP thread drains requests and does ALL
+        # in-pipeline host work for the next batch (tokenization, CFG dual-
+        # batch build, PNG decode, embed/VQ-encode dispatch — the measured
+        # ~1.1 s/batch of DESIGN.md §11) WHILE the device-owner thread runs
+        # the current batch's decode. maxsize=1 bounds the lookahead: at
+        # most one prepared batch (with its pinned device embeds) waits.
+        self._ready: "queue.Queue" = queue.Queue(maxsize=1)
+        self._prep_thread = threading.Thread(
+            target=self._prep_loop, daemon=True, name="plangen-prep"
+        )
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="plangen-batcher")
+        self._prep_thread.start()
         self._thread.start()
 
     def _edit_region(self, payload: Dict[str, Any]) -> "np.ndarray":
@@ -197,6 +209,7 @@ class Batcher:
         # after shutdown would otherwise orphan the in-flight batch — the
         # _loop submit has an inline fallback for that case too)
         self._thread.join(timeout=60)
+        self._prep_thread.join(timeout=10)
         self._asm_pool.shutdown(wait=True)  # let in-flight results land
         self._png_pool.shutdown(wait=False)
 
@@ -275,23 +288,53 @@ class Batcher:
             batch.append(nxt)
         return batch
 
-    def _loop(self):
+    def _prep_loop(self):
+        """Drain + host batch construction, one batch AHEAD of the device."""
         while not self._stop.is_set():
             batch = self._drain()
             if not batch:
                 continue
             t0 = time.perf_counter()
+            try:
+                prepared = self._prepare(batch)
+            except Exception as e:  # bad batch: fail its waiters, keep going
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+                self._finalize(batch)
+                continue
+            with self._stats_lock:
+                self.stats["prep_s"] = round(
+                    self.stats["prep_s"] + time.perf_counter() - t0, 3
+                )
+            while not self._stop.is_set():  # blocks at lookahead=1
+                try:
+                    self._ready.put((batch, prepared), timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+            else:  # shutdown raced the handoff: release the waiters
+                for r in batch:
+                    r.error = "RuntimeError: server shutting down"
+                self._finalize(batch)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                batch, prepared = self._ready.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            t0 = time.perf_counter()
             if self._last_run_end is not None:
-                # time the device-owner spent OUTSIDE _run. Under SATURATING
-                # load this is the drain/GIL inter-batch gap the DESIGN §11
-                # breakdown tracks; off-saturation it is dominated by
-                # waiting for traffic and means nothing.
+                # time the device-owner spent OUTSIDE _execute. Under
+                # SATURATING load this is the true inter-batch gap (prep now
+                # overlaps); off-saturation it is dominated by waiting for
+                # traffic and means nothing.
                 with self._stats_lock:
                     self.stats["idle_s"] = round(
                         self.stats["idle_s"] + t0 - self._last_run_end, 3
                     )
             try:
-                deferred = self._run(batch)
+                deferred = self._execute(batch, prepared)
             except Exception as e:  # surface errors to every waiter
                 for r in batch:
                     r.error = f"{type(e).__name__}: {e}"
@@ -343,7 +386,12 @@ class Batcher:
     def _pad(items: List[Any], bucket: int) -> List[Any]:
         return items + [items[0]] * (bucket - len(items))
 
-    def _run(self, batch: List[_Request]):
+    def _prepare(self, batch: List[_Request]):
+        """Host half of a batch, run on the PREP thread: PNG decode, padding,
+        tokenization, CFG dual-batch build, and the embed / VQ-encode
+        dispatches (tasks/pipeline.py prepare_*). Overlaps the PREVIOUS
+        batch's device decode — the ~1.1 s/batch of in-pipeline host work
+        DESIGN.md §11 measured in the device-owner path."""
         mode = batch[0].mode
         n = len(batch)
         bucket = self._bucket(n)
@@ -352,10 +400,7 @@ class Batcher:
 
         if mode == "plan":
             caps = self._pad([r.payload["caption"] for r in batch], bucket)
-            outs = self.pipe.plan(caps)
-            for r, g in zip(batch, outs):
-                r.result = {"grounding": g}
-            return
+            return {"plan": self.pipe.prepare_plan(caps)}
 
         if mode == "understand":
             hw = self.pipe.cfg.vision.image_size
@@ -364,27 +409,89 @@ class Batcher:
             )
             # one question per batch (the batch key includes it); None keeps
             # the reference's default MMU prompt
-            out = self.pipe.understand(
+            return {"mmu": self.pipe.prepare_understand(
                 np.stack(imgs), question=batch[0].payload.get("question")
+            )}
+
+        ps = self._req_ps(batch[0])  # uniform across the batch (batch key)
+        seeds = self._pad([self._req_seed(r) for r in batch], bucket)
+        caps = self._pad([r.payload.get("caption", "") for r in batch], bucket)
+
+        if mode == "joint":
+            # only stage 1 (plan) can be built ahead: stage 2's prompt
+            # depends on the planned layout, so its host build runs between
+            # the two decodes in _execute
+            return {"plan": self.pipe.prepare_plan(caps), "caps": caps,
+                    "seeds": seeds, "ps": ps, "bucket": bucket}
+
+        if mode == "generate":
+            groundings = self._pad(
+                [r.payload["grounding"] for r in batch], bucket
             )
+            prep = self.pipe.prepare_layout_to_image(
+                caps, groundings, seeds=seeds, parallel_size=ps
+            )
+            return {"gen": prep, "groundings": groundings, "seeds": seeds,
+                    "ps": ps, "bucket": bucket}
+
+        if mode == "edit":
+            hw = self.pipe.cfg.vision.image_size
+            groundings = self._pad(
+                [r.payload["grounding"] for r in batch], bucket
+            )
+            imgs = self._pad(
+                [_png_decode(r.payload["image_b64"], hw) for r in batch],
+                bucket,
+            )
+            regions = self._pad(
+                [self._edit_region(r.payload) for r in batch], bucket
+            )
+            negs = [r.payload.get("neg_grounding") for r in batch]
+            neg_groundings = (
+                self._pad([g or "" for g in negs], bucket)
+                if any(negs) else None
+            )
+            prep = self.pipe.prepare_layout_to_image(
+                caps, groundings,
+                neg_groundings=neg_groundings,
+                gt_images=np.stack(imgs),
+                edit_region=np.stack(regions),
+                seeds=seeds,
+                teacher_forcing=True,
+            )
+            return {"gen": prep, "seeds": seeds}
+
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def _execute(self, batch: List[_Request], prepared):
+        """Device half: decode program(s) on a prepared batch. Returns None
+        (results written) or a deferred assembly callable."""
+        mode = batch[0].mode
+
+        if mode == "plan":
+            outs = self.pipe.plan_from_prepared(prepared["plan"])
+            for r, g in zip(batch, outs):
+                r.result = {"grounding": g}
+            return
+
+        if mode == "understand":
+            out = self.pipe.understand_from_prepared(prepared["mmu"])
             for r, g in zip(batch, out.groundings):
                 r.result = {"grounding": g}
             return
 
         if mode in ("generate", "joint"):
-            ps = self._req_ps(batch[0])  # uniform across the batch (batch key)
-            caps = self._pad([r.payload["caption"] for r in batch], bucket)
-            seeds = self._pad([self._req_seed(r) for r in batch], bucket)
+            ps, seeds, bucket = (prepared["ps"], prepared["seeds"],
+                                 prepared["bucket"])
             if mode == "joint":
-                out = self.pipe.joint_generate(caps, seeds=seeds,
-                                               parallel_size=ps)
-                groundings = out.groundings
-            else:
-                groundings = self._pad(
-                    [r.payload["grounding"] for r in batch], bucket
+                groundings = self.pipe.plan_from_prepared(prepared["plan"])
+                out = self.pipe.layout_to_image(
+                    prepared["caps"], groundings, seeds=seeds,
+                    parallel_size=ps,
                 )
-                out = self.pipe.layout_to_image(caps, groundings, seeds=seeds,
-                                                parallel_size=ps)
+            else:
+                groundings = prepared["groundings"]
+                out = self.pipe.execute_image_gen(prepared["gen"])
             def assemble_generate(batch=batch, out=out, groundings=groundings,
                                   seeds=seeds, ps=ps, bucket=bucket):
                 # the device->host pixel fetch (pipe.defer_fetch) AND PNG
@@ -413,29 +520,10 @@ class Batcher:
 
         if mode == "edit":
             # layout-guided editing / removal: gt image + edit region
-            # (1 = regenerate); negative grounding optional (removal)
-            hw = self.pipe.cfg.vision.image_size
-            caps = self._pad([r.payload.get("caption", "") for r in batch], bucket)
-            groundings = self._pad(
-                [r.payload["grounding"] for r in batch], bucket
-            )
-            imgs = self._pad(
-                [_png_decode(r.payload["image_b64"], hw) for r in batch], bucket
-            )
-            regions = self._pad(
-                [self._edit_region(r.payload) for r in batch], bucket
-            )
-            negs = [r.payload.get("neg_grounding") for r in batch]
-            neg_groundings = (
-                self._pad([g or "" for g in negs], bucket)
-                if any(negs) else None
-            )
-            seeds = self._pad([self._req_seed(r) for r in batch], bucket)
-            out = self.pipe.edit_image(
-                caps, groundings, np.stack(imgs), np.stack(regions),
-                neg_groundings=neg_groundings,
-                seeds=seeds,
-            )
+            # (1 = regenerate); negative grounding optional (removal) —
+            # all built in _prepare, only the decode runs here
+            seeds = prepared["seeds"]
+            out = self.pipe.execute_image_gen(prepared["gen"])
             def assemble_edit(batch=batch, out=out, seeds=seeds):
                 images = np.asarray(out.images)
                 pngs = list(self._encoder_pool().map(

@@ -87,6 +87,26 @@ class GenerationOutput:
     edit_mask: Optional[np.ndarray] = None  # [B, 576] regen mask used
 
 
+@dataclass
+class PreparedImageGen:
+    """Host-side batch construction for `layout_to_image`, split out so a
+    serving prep thread can tokenize + build the CFG dual batch + dispatch
+    the embed program for batch N+1 WHILE batch N's decode owns the device
+    (serve.py two-stage batcher; the ~1.1 s/batch of in-pipeline host work
+    measured in DESIGN.md §11). `execute_image_gen` consumes it."""
+
+    embeds: Any  # device [2B, L, H] (embed program already dispatched)
+    cfg_mask: Any  # [2B, S]
+    rng: Any  # single key or per-row keys
+    groundings: List[str]
+    ps: int
+    gt_tokens: Any = None  # device [B, 576] (VQ encode dispatched) or None
+    regen: Any = None  # device [B, 576] or None
+    regen_np: Optional[np.ndarray] = None  # host copy (fast-edit schedule)
+    edit_mask_out: Optional[np.ndarray] = None
+    n_rows: int = 0  # len(captions) * ps
+
+
 class PlanGenPipeline:
     def __init__(
         self,
@@ -160,10 +180,18 @@ class PlanGenPipeline:
     def plan(self, captions: Sequence[str]) -> List[str]:
         """Text -> layout grounding strings (task 'plan'; reference
         uni_generate pred_layout branch, plangen_base.py:363-377)."""
+        return self.plan_from_prepared(self.prepare_plan(captions))
+
+    def prepare_plan(self, captions: Sequence[str]) -> Dict[str, Any]:
+        """Host half of `plan` (tokenize + embed dispatch) — see
+        PreparedImageGen for why the split exists."""
         budget = self.gen.max_new_text_tokens
         ids, mask = self.proc.stage1_batch(list(captions), budget)
         embeds = _embed_ids(self.params, self.cfg, jnp.asarray(ids)).astype(self.dtype)
-        tokens = self._text_decode(embeds, jnp.asarray(mask), budget)
+        return {"embeds": embeds, "mask": jnp.asarray(mask), "budget": budget}
+
+    def plan_from_prepared(self, prep: Dict[str, Any]) -> List[str]:
+        tokens = self._text_decode(prep["embeds"], prep["mask"], prep["budget"])
         texts = self.proc.decode_until_eos(np.asarray(tokens))
         return [truncate_grounding(t) for t in texts]
 
@@ -174,6 +202,15 @@ class PlanGenPipeline:
     ) -> GenerationOutput:
         """Image -> caption + layout description (task 'mmu';
         reference uni_generate is_mmu branch, plangen_base.py:364-372)."""
+        return self.understand_from_prepared(
+            self.prepare_understand(images, question)
+        )
+
+    def prepare_understand(
+        self, images: np.ndarray, question: Optional[str] = None
+    ) -> Dict[str, Any]:
+        """Host half of `understand`: MMU prompt build + the SigLIP-spliced
+        embed dispatch (the vision tower runs inside that program)."""
         B = images.shape[0]
         budget = self.gen.max_new_text_tokens
         kwargs = {} if question is None else {"question": question}
@@ -185,7 +222,11 @@ class PlanGenPipeline:
             jnp.asarray(images, dtype=self.dtype),
             jnp.asarray(batch.images_seq_mask),
         ).astype(self.dtype)
-        tokens = self._text_decode(embeds, jnp.asarray(batch.attn_mask), budget)
+        return {"embeds": embeds, "mask": jnp.asarray(batch.attn_mask),
+                "budget": budget}
+
+    def understand_from_prepared(self, prep: Dict[str, Any]) -> GenerationOutput:
+        tokens = self._text_decode(prep["embeds"], prep["mask"], prep["budget"])
         texts = self.proc.decode_until_eos(np.asarray(tokens))
         return GenerationOutput(texts=texts, groundings=texts)
 
@@ -213,17 +254,43 @@ class PlanGenPipeline:
         independent of what else shares the batch — the serving contract
         (plangen_tpu/serve.py batches requests with different seeds
         together because of this). `seed` keeps the single-stream form."""
+        prep = self.prepare_layout_to_image(
+            captions, groundings,
+            neg_captions=neg_captions, neg_groundings=neg_groundings,
+            gt_images=gt_images, edit_region=edit_region,
+            seed=seed, seeds=seeds, parallel_size=parallel_size,
+            teacher_forcing=teacher_forcing,
+        )
+        return self.execute_image_gen(prep)
+
+    def prepare_layout_to_image(
+        self,
+        captions: Sequence[str],
+        groundings: Sequence[str],
+        neg_captions: Optional[Sequence[str]] = None,
+        neg_groundings: Optional[Sequence[str]] = None,
+        gt_images: Optional[np.ndarray] = None,
+        edit_region: Optional[np.ndarray] = None,
+        seed: Optional[int] = None,
+        seeds: Optional[Sequence[int]] = None,
+        parallel_size: Optional[int] = None,
+        teacher_forcing: Optional[bool] = None,
+    ) -> PreparedImageGen:
+        """Host half of `layout_to_image`: tokenization, CFG dual-batch
+        construction, edit-region replication, and the embed / VQ-encode /
+        key-derivation DISPATCHES (tiny programs that queue behind whatever
+        owns the device). Thread-safe vs a running `execute_image_gen`."""
         ps = parallel_size or self.gen.parallel_size
         captions = list(captions)
         ids, mask = self.proc.uni_batch(captions, list(groundings))
         cfg_ids, cfg_mask = self.proc.cfg_batch(
             ids, mask, neg_captions, neg_groundings, parallel_size=ps
         )
-        B = len(captions) * ps
         n_img = self.cfg.image_seq_len
 
         gt_tokens = None
         regen = None
+        regen_np = None
         edit_mask_out = None
         if teacher_forcing is None:
             teacher_forcing = self.gen.use_teacher_forcing
@@ -233,11 +300,14 @@ class PlanGenPipeline:
             )
             if edit_region is None:
                 edit_region = np.zeros((len(captions), n_img), dtype=np.int32)
-            gt_tokens = jnp.asarray(np.concatenate([np.asarray(gt_tok)] * ps, axis=0))
-            regen = jnp.asarray(
-                np.concatenate([np.asarray(edit_region, dtype=np.int32)] * ps, axis=0)
+            # replicate on DEVICE: np.asarray(gt_tok) here would sync the
+            # prep thread behind whatever decode currently owns the device
+            gt_tokens = jnp.concatenate([gt_tok] * ps, axis=0) if ps > 1 else gt_tok
+            regen_np = np.concatenate(
+                [np.asarray(edit_region, dtype=np.int32)] * ps, axis=0
             )
-            edit_mask_out = np.asarray(regen)
+            regen = jnp.asarray(regen_np)
+            edit_mask_out = regen_np
 
         embeds = _embed_ids(self.params, self.cfg, jnp.asarray(cfg_ids)).astype(
             self.dtype
@@ -254,6 +324,23 @@ class PlanGenPipeline:
             )  # [B, 2] per-row keys
         else:
             rng = jax.random.PRNGKey(self.gen.seed if seed is None else seed)
+        return PreparedImageGen(
+            embeds=embeds, cfg_mask=jnp.asarray(cfg_mask), rng=rng,
+            groundings=list(groundings), ps=ps, gt_tokens=gt_tokens,
+            regen=regen, regen_np=regen_np, edit_mask_out=edit_mask_out,
+            n_rows=len(captions) * ps,
+        )
+
+    def execute_image_gen(self, prep: PreparedImageGen) -> GenerationOutput:
+        """Device half of `layout_to_image`: the fused decode program(s) on a
+        prepared batch, then detokenize."""
+        B = prep.n_rows
+        n_img = self.cfg.image_seq_len
+        embeds, rng = prep.embeds, prep.rng
+        gt_tokens, regen = prep.gt_tokens, prep.regen
+        cfg_mask = prep.cfg_mask
+        groundings = prep.groundings
+        edit_mask_out = prep.edit_mask_out
         if self.gen.fast_edit and gt_tokens is not None:
             # frozen runs prefilled in one pass (token-identical); the
             # schedule is canonicalized to a coarse prefix/suffix form so a
@@ -266,13 +353,13 @@ class PlanGenPipeline:
             )
 
             schedule = canonicalize_schedule(
-                frozen_chunk_schedule(np.asarray(regen))
+                frozen_chunk_schedule(prep.regen_np)
             )
             result = generate_image_tokens_fast_edit(
                 self.params,
                 self.cfg,
                 embeds,
-                jnp.asarray(cfg_mask),
+                cfg_mask,
                 rng=rng,
                 cfg_weight=jnp.float32(self.gen.cfg_weight),
                 temperature=jnp.float32(self.gen.temperature),
@@ -302,7 +389,7 @@ class PlanGenPipeline:
                 self.params,
                 self.cfg,
                 embeds,
-                jnp.asarray(cfg_mask),
+                cfg_mask,
                 # speculative is B=1: the request's own key IS row 0's key
                 rng=rng[0] if rng.ndim == 2 else rng,
                 cfg_weight=jnp.float32(self.gen.cfg_weight),
@@ -316,7 +403,7 @@ class PlanGenPipeline:
                 self.params,
                 self.cfg,
                 embeds,
-                jnp.asarray(cfg_mask),
+                cfg_mask,
                 rng=rng,
                 cfg_weight=jnp.float32(self.gen.cfg_weight),
                 temperature=jnp.float32(self.gen.temperature),
