@@ -122,3 +122,102 @@ class TestCrossImplementationParity:
             assert rec["tokens"] and all(
                 isinstance(t, int) for t in rec["tokens"][0]
             )
+
+
+class TestNumhwParity:
+    """numhw coordinate mode (use_textual=False + use_numhw_tokens=True)
+    cross-implementation: 200 <hN>/<wN> tokenizer tokens added in the SAME
+    order on both sides (plangen_base.py:121-127 / text/tokenizer.py), pinned
+    layouts re-serialized to 0-99 coords by ONE shared transform
+    (golden_parity.to_numhw_grounding)."""
+
+    @pytest.fixture(scope="class")
+    def goldens(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("janus_numhw")
+        make_random_fixture(d, PlanGenModelConfig.tiny(), seed=1)
+        out = tmp_path_factory.mktemp("goldens_numhw")
+        proc = subprocess.run(
+            [
+                sys.executable, str(REPO / "tools/capture_reference.py"),
+                "--janus-path", str(d), "--tiny", "--numhw", "--out", str(out),
+                "--modes", "plan,edit,rm,losses,prompts",
+                "--max-new-text-tokens", "6",
+            ],
+            capture_output=True, text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return d, out
+
+    def test_numhw_modes_token_exact(self, goldens, tmp_path):
+        import golden_parity
+
+        ckpt, golden_dir = goldens
+        report_path = tmp_path / "report.json"
+        rc = golden_parity.main([
+            "--janus-path", str(ckpt),
+            "--cfg", str(REPO / "configs/toy_smoke.py"),
+            "--opt", "use_textual=false", "use_numhw_tokens=true",
+            "--max-new-text-tokens", "6",
+            "--golden", str(golden_dir),
+            "--modes", "plan,edit,rm,losses,prompts",
+            "--out", str(report_path),
+        ])
+        report = {r["mode"]: r for r in json.loads(report_path.read_text())}
+        assert rc == 0
+        for mode in ("plan", "edit", "rm", "prompts"):
+            assert report[mode]["status"] == "match", (mode, report[mode])
+        assert report["losses"]["status"] == "match", report["losses"]
+        for k in ("loss_uni_t2i", "loss_uni_lm", "loss_plan_lm"):
+            assert report["losses"]["rel_diffs"][k] < 2e-3
+
+    def test_golden_prompts_contain_hw_tokens(self, goldens):
+        _, golden_dir = goldens
+        rec = json.loads((golden_dir / "prompts.json").read_text())
+        assert "<h" in rec["grounding"] and "<w" in rec["grounding"]
+        assert "[" not in rec["grounding"]  # no textual int lists
+
+
+class TestTiny7BShapeParity:
+    """7B family-member shape relationships (deeper stack, more heads, non-2x
+    MLP, wider image_token_embed) at tiny dims: token-exact parity proves no
+    1B dimension is hardcoded in either direction
+    (three_party/Janus/README.md:115 lists the 7B member)."""
+
+    @pytest.fixture(scope="class")
+    def goldens(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("janus_tiny7b")
+        make_random_fixture(d, PlanGenModelConfig.tiny_7b(), seed=2)
+        out = tmp_path_factory.mktemp("goldens_tiny7b")
+        proc = subprocess.run(
+            [
+                sys.executable, str(REPO / "tools/capture_reference.py"),
+                "--janus-path", str(d), "--tiny", "--tiny-preset", "tiny_7b",
+                "--out", str(out),
+                "--modes", "plan,mmu,edit,losses,prompts",
+                "--max-new-text-tokens", "6",
+            ],
+            capture_output=True, text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return d, out
+
+    def test_7b_shape_modes_token_exact(self, goldens, tmp_path):
+        import golden_parity
+
+        ckpt, golden_dir = goldens
+        report_path = tmp_path / "report.json"
+        rc = golden_parity.main([
+            "--janus-path", str(ckpt),
+            "--cfg", str(REPO / "configs/toy_smoke_7b.py"),
+            "--max-new-text-tokens", "6",
+            "--golden", str(golden_dir),
+            "--modes", "plan,mmu,edit,losses,prompts",
+            "--out", str(report_path),
+        ])
+        report = {r["mode"]: r for r in json.loads(report_path.read_text())}
+        assert rc == 0
+        for mode in ("plan", "mmu", "edit", "prompts"):
+            assert report[mode]["status"] == "match", (mode, report[mode])
+        assert report["losses"]["status"] == "match", report["losses"]
+        for k in ("loss_uni_t2i", "loss_uni_lm", "loss_plan_lm"):
+            assert report["losses"]["rel_diffs"][k] < 2e-3

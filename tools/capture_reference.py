@@ -564,11 +564,21 @@ def main(argv=None) -> int:
 
         torch.Tensor.bfloat16 = lambda self: self.float()  # type: ignore
 
+    if args.numhw:
+        # re-serialize the pinned layouts in numhw form; capture_* functions
+        # read the module globals, so the whole protocol switches coordinate
+        # mode in one place (shared transform: golden_parity.to_numhw_grounding)
+        from golden_parity import to_numhw_grounding
+
+        g = globals()
+        g["PINNED_UNI_GROUNDING"] = to_numhw_grounding(PINNED_UNI_GROUNDING)
+        g["PINNED_RM_NEG"] = to_numhw_grounding(PINNED_RM_NEG)
+
     tiny_cfg = None
     if args.tiny:
         from plangen_tpu.config import PlanGenModelConfig
 
-        tiny_cfg = PlanGenModelConfig.tiny()
+        tiny_cfg = getattr(PlanGenModelConfig, args.tiny_preset)()
         apply_tiny_patches(tiny_cfg)
 
     image_hw = tiny_cfg.vision.image_size if tiny_cfg else 384
@@ -580,7 +590,8 @@ def main(argv=None) -> int:
         "temperature": args.temperature,
         "parallel_size": 1,
         "use_special_tokens": True,
-        "use_numhw_tokens": False,
+        "use_numhw_tokens": args.numhw,
+        "use_textual": not args.numhw,
         "use_teacher_forcing": False,
         "use_neg_box": False,
         "tuning_mode": "stage3",
