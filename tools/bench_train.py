@@ -2,17 +2,25 @@
 
 Reference per-GPU recipe (cfg/uni/h_text_ump+oimsam.py): flows uni bs3 +
 mmu bs3 + plan bs2, stage3 tuning, bf16 compute. A 16 GB v5e cannot hold
-fp32 masters + fp32 Adam moments for 1.45B trainable params, so this runs
-the single-chip configuration: bf16 masters (TrainConfig.master_dtype) +
-per-layer remat. Prints sec/step and an images+samples/s rate.
+fp32 masters + fp32 Adam moments for 1.45B trainable params, so the
+single-chip configurations are bf16 masters (TrainConfig.master_dtype) +
+per-layer remat; full stage3 is the documented >=2-chip FSDP path and its
+single-chip OOM is RECORDED as an error row, not skipped.
 
-Env: TRAIN_UNI_BS/TRAIN_MMU_BS/TRAIN_PLAN_BS (default 3/3/2), TRAIN_TEXT_LEN
-(default 128), TRAIN_REMAT (default 1), TRAIN_MASTER (default bfloat16),
-TRAIN_MODE (default stage3).
+Writes one row per tuning mode to BENCH_SWEEP.json under "train"
+(read-merge-write like the decode sweep) so every published training number
+is a machine-readable artifact: step ms, samples/s, tokens/s, device memory,
+and % of a stated compute-roofline estimate.
+
+Env: BENCH_TRAIN_MODES (default "lora,stage1,stage3"), TRAIN_UNI_BS/
+TRAIN_MMU_BS/TRAIN_PLAN_BS (default 3/3/2), TRAIN_TEXT_LEN (default 128),
+TRAIN_REMAT (default 1), TRAIN_MASTER (default bfloat16), TRAIN_FLASH,
+TRAIN_FUSED_CE.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -20,34 +28,32 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+# v5e bf16 matmul peak (public spec: 197 TFLOP/s bf16). The roofline
+# estimate below is COMPUTE-side: training at these batch/seq sizes is
+# MXU-bound, not HBM-bound like decode.
+V5E_BF16_FLOPS = float(os.environ.get("BENCH_MXU_TFLOPS", "197")) * 1e12
 
-def main():
+
+def _lm_param_count(cfg) -> int:
+    lm = cfg.llama
+    layer = (
+        lm.hidden_size * lm.q_dim + 2 * lm.hidden_size * lm.kv_dim
+        + lm.q_dim * lm.hidden_size + 3 * lm.hidden_size * lm.intermediate_size
+    )
+    return lm.num_layers * layer
+
+
+def bench_mode(mode: str, cfg, shapes) -> dict:
     import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
     import jax.numpy as jnp
     import numpy as np
 
-    from plangen_tpu.config import OptimConfig, PlanGenModelConfig, TrainConfig
+    from plangen_tpu.config import OptimConfig, TrainConfig
     from plangen_tpu.models import vlm
     from plangen_tpu.train.optim import make_optimizer
     from plangen_tpu.train.step import init_train_state, make_train_step
 
-    cfg = PlanGenModelConfig()
-    uni_bs = int(os.environ.get("TRAIN_UNI_BS", "3"))
-    mmu_bs = int(os.environ.get("TRAIN_MMU_BS", "3"))
-    plan_bs = int(os.environ.get("TRAIN_PLAN_BS", "2"))
-    L = int(os.environ.get("TRAIN_TEXT_LEN", "128"))
-    remat = os.environ.get("TRAIN_REMAT", "1") == "1"
-    master = os.environ.get("TRAIN_MASTER", "bfloat16")
-    mode = os.environ.get("TRAIN_MODE", "stage3")
-    use_flash = os.environ.get("TRAIN_FLASH", "0") == "1"
-    fused_ce = os.environ.get("TRAIN_FUSED_CE", "0") == "1"
-
+    uni_bs, mmu_bs, plan_bs, L, remat, master, use_flash, fused_ce = shapes
     n_img = cfg.image_seq_len
     size = cfg.vision.image_size
 
@@ -65,8 +71,7 @@ def main():
         )
     tcfg = TrainConfig(
         optim=OptimConfig(), gradient_checkpointing=remat, master_dtype=master,
-        use_flash_attention=use_flash,
-        fused_lm_ce=fused_ce,
+        use_flash_attention=use_flash, fused_lm_ce=fused_ce,
     )
     tx, _ = make_optimizer(tcfg.optim, params, mode)
     flows = ((0, "uni"), (1, "mmu"), (2, "plan"))
@@ -105,7 +110,8 @@ def main():
     t0 = time.perf_counter()
     state, metrics = step(state, batches)
     loss = float(metrics["loss"])
-    print(f"compile+first step {time.perf_counter() - t0:.1f}s loss={loss:.3f}",
+    compile_s = time.perf_counter() - t0
+    print(f"[{mode}] compile+first step {compile_s:.1f}s loss={loss:.3f}",
           flush=True)
     assert np.isfinite(loss)
     times = []
@@ -115,14 +121,83 @@ def main():
         _ = float(metrics["loss"])  # host sync
         times.append(time.perf_counter() - t0)
     sec = min(times)
+
     total_samples = uni_bs + mmu_bs + plan_bs
-    print(
-        f"train step: {sec*1e3:.0f} ms  (remat={remat} master={master} flash={use_flash} fused_ce={fused_ce} "
-        f"mode={mode}; uni{uni_bs}+mmu{mmu_bs}+plan{plan_bs}, text_len={L})\n"
-        f"throughput: {total_samples / sec:.2f} samples/s/chip, "
-        f"{86400 / sec / 1000:.1f}k steps/day",
-        flush=True,
+    # LM tokens per step (the compute-dominant tower; SigLIP/VQ excluded
+    # from the roofline estimate, stated in the note)
+    lm_tokens = uni_bs * (L + n_img) + mmu_bs * mmu_len + plan_bs * L
+    n_lm = _lm_param_count(cfg)
+    # fwd 2NT + bwd 4NT, +2NT fwd recompute under remat
+    flops = (8 if remat else 6) * n_lm * lm_tokens
+    floor_s = flops / V5E_BF16_FLOPS
+    try:
+        mem = jax.local_devices()[0].memory_stats() or {}
+        mem_gb = round(mem.get("bytes_in_use", 0) / 2 ** 30, 2)
+    except Exception:
+        mem_gb = None
+    return {
+        "mode": mode,
+        "ms_per_step": round(sec * 1e3, 1),
+        "samples_per_sec": round(total_samples / sec, 2),
+        "lm_tokens_per_sec": round(lm_tokens / sec, 1),
+        "steps_per_day_k": round(86400 / sec / 1000, 1),
+        "device_mem_gb": mem_gb,
+        "compute_floor_ms": round(floor_s * 1e3, 1),
+        "pct_of_compute_floor": round(100.0 * floor_s / sec, 1),
+        "compile_s": round(compile_s, 1),
+        "loss_finite": True,
+    }
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+    from plangen_tpu.config import PlanGenModelConfig
+
+    cfg = PlanGenModelConfig()
+    shapes = (
+        int(os.environ.get("TRAIN_UNI_BS", "3")),
+        int(os.environ.get("TRAIN_MMU_BS", "3")),
+        int(os.environ.get("TRAIN_PLAN_BS", "2")),
+        int(os.environ.get("TRAIN_TEXT_LEN", "128")),
+        os.environ.get("TRAIN_REMAT", "1") == "1",
+        os.environ.get("TRAIN_MASTER", "bfloat16"),
+        os.environ.get("TRAIN_FLASH", "0") == "1",
+        os.environ.get("TRAIN_FUSED_CE", "0") == "1",
     )
+    modes = os.environ.get("BENCH_TRAIN_MODES", "lora,stage1,stage3").split(",")
+    out_path = Path(__file__).parent.parent / "BENCH_SWEEP.json"
+    rows = []
+    for mode in [m.strip() for m in modes if m.strip()]:
+        try:
+            rows.append(bench_mode(mode, cfg, shapes))
+        except Exception as e:  # records e.g. stage3's single-chip OOM
+            rows.append({"mode": mode, "error": type(e).__name__,
+                         "error_note": str(e)[:300]})
+        print(json.dumps(rows[-1]), flush=True)
+        doc = json.loads(out_path.read_text()) if out_path.exists() else {}
+        doc["train"] = {
+            "note": (
+                "multi-task train step on one chip (tools/bench_train.py): "
+                "reference per-GPU recipe uni3+mmu3+plan2, bf16 masters + "
+                "remat; pct_of_compute_floor vs (8 if remat else 6)*N_lm*"
+                "T_lm / 197 TFLOP/s bf16 — LM tower only, SigLIP/VQ and "
+                "optimizer excluded (estimate, labeled)"
+            ),
+            "shapes": {
+                "uni_bs": shapes[0], "mmu_bs": shapes[1], "plan_bs": shapes[2],
+                "text_len": shapes[3], "remat": shapes[4],
+                "master_dtype": shapes[5],
+            },
+            "rows": rows,
+        }
+        out_path.write_text(json.dumps(doc, indent=1))
+    print(json.dumps({"train_rows": len(rows), "out": str(out_path)}))
 
 
 if __name__ == "__main__":
