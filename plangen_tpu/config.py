@@ -249,7 +249,23 @@ class GenerationConfig:
     pad_edit_box: float = 0.0
     quantize: Optional[str] = None  # 'int8' = int8 weights + int8 KV cache;
     # 'int4' = packed-int4 weights (Pallas kernel) + int8 KV cache;
-    # 'int4_a8' = int4 weights + int8 activations (s8 MXU dots) + int8 KV
+    # 'int4_a8' = int4 weights + int8 activations (s8 MXU dots) + int8 KV;
+    # 'int8_kv' = bf16 weights + int8 KV cache only (the measured-best
+    # large-batch serving config: at B>=48 images the 96+ CFG-row matmuls
+    # run FASTER from bf16 weights than from any quantized form —
+    # BENCH_SWEEP.json decode rows / step_budget);
+    # 'auto' = dual-resident bf16 + int4 weight trees (int8 KV either way),
+    # routed per batch at the measured crossover: <= auto_int4_max_rows
+    # matmul rows decode from int4 (latency-bound, weight reads dominate),
+    # above it from bf16 (throughput-bound, MXU int-operand rate dominates).
+    # The int4 tree shares every non-LM subtree with the dense tree by
+    # reference, so the extra residency is only the packed LM weights
+    # (~0.7 GB for 1B); rejected at load for 7B-scale models where the
+    # dense tree alone nearly fills one chip (tasks/eval.py).
+    auto_int4_max_rows: int = 64  # routing threshold in MATMUL ROWS (images
+    # x 2 CFG x parallel_size for image decode, rows for text decode):
+    # B=32 images -> 64 rows int4 wins (3322 vs 2931 tok/s); B=64 -> 128
+    # rows bf16+int8KV wins (4281 vs 3732) — BENCH_SWEEP.json
     # s8 x s8 MXU dots in decode-step attention over the int8 KV cache
     # (quantized query/probability rows). MEASURED SLOWER and kept flag-off
     # with exactness tests: decode attention at M=1 is MXU element-rate
@@ -413,6 +429,12 @@ def validate_config(cfg: "PlanGenConfig") -> "PlanGenConfig":
             "require use_numhw_tokens=True (atomic tokenizer entries, "
             "plangen_base.py:121-127); without them every tag byte-fallback "
             "encodes into many ids and labels silently diverge"
+        )
+    _QUANT_MODES = (None, "int8", "int4", "int4_a8", "int8_kv", "auto")
+    if g.quantize not in _QUANT_MODES:
+        raise ValueError(
+            f"generation.quantize={g.quantize!r} — expected one of "
+            f"{_QUANT_MODES}"
         )
     if g.kv_a8 and g.quantize is None:
         raise ValueError(

@@ -95,16 +95,52 @@ def quantize_lm_params_int4(
     )
 
 
+def quantize_lm_params_int4_shared(
+    params: Dict[str, Any], act_int8: bool = False
+) -> Dict[str, Any]:
+    """int4-quantize the LM matmul leaves in ONE jitted program and stitch
+    them into a tree that SHARES every untouched leaf (vision/VQ/embeds/
+    norms/gen_head.fc1) with `params` by reference — the dual-resident
+    `generation.quantize="auto"` form (tasks/eval.py). One remote compile
+    instead of per-op eager dispatch, no device copies of the shared
+    subtrees, and the dense tree stays live for the large-batch route.
+    (Numerics may differ from the eager `quantize_lm_params_int4` in scale
+    LSBs — XLA reassociates the absmax reductions; both forms are valid
+    int4 codes and each path pins its own golden stream.)"""
+    from plangen_tpu.ops.pallas_int4_matmul import quantize_weight_int4
+
+    lm = params["language_model"]
+    leaves = {k: lm["layers"][k] for k in _LM_QUANT_KEYS}
+    leaves["lm_head"] = lm["lm_head"]
+    leaves["gen_head_fc2"] = params["gen_head"]["fc2"]["w"]
+
+    def _q(t):
+        return {
+            k: quantize_weight_int4(v, act_int8=act_int8)
+            for k, v in t.items()
+        }
+
+    q = jax.jit(_q)(leaves)
+    return _stitch_lm(params, lambda key, _w: q[key])
+
+
 def _quantize_lm(params: Dict[str, Any], qfn) -> Dict[str, Any]:
+    return _stitch_lm(params, lambda _key, w: qfn(w))
+
+
+def _stitch_lm(params: Dict[str, Any], pick) -> Dict[str, Any]:
+    """Rebuild the tree with `pick(leaf_key, weight)` replacing each decode-
+    dominant matmul leaf; every other subtree is shared by reference."""
     out = dict(params)
     lm = dict(out["language_model"])
     layers = dict(lm["layers"])
     for k in _LM_QUANT_KEYS:
-        layers[k] = qfn(layers[k])
+        layers[k] = pick(k, layers[k])
     lm["layers"] = layers
-    lm["lm_head"] = qfn(lm["lm_head"])
+    lm["lm_head"] = pick("lm_head", lm["lm_head"])
     out["language_model"] = lm
-    gen_head = {k: dict(v) for k, v in out["gen_head"].items()}
-    gen_head["fc2"]["w"] = qfn(gen_head["fc2"]["w"])
+    gen_head = dict(out["gen_head"])
+    gen_head["fc2"] = dict(gen_head["fc2"])
+    gen_head["fc2"]["w"] = pick("gen_head_fc2", gen_head["fc2"]["w"])
     out["gen_head"] = gen_head
     return out

@@ -65,8 +65,42 @@ def build_pipeline(cfg: PlanGenConfig, params=None) -> PlanGenPipeline:
         import dataclasses
 
         gen_cfg = dataclasses.replace(gen_cfg, quantize=have)
+    if gen_cfg.quantize == "auto":
+        params_int4 = _build_auto_int4(params, cfg.model)
+        return PlanGenPipeline(params, cfg.model, proc, gen_cfg=gen_cfg,
+                               params_int4=params_int4)
     params = _apply_quantize(params, gen_cfg.quantize)
     return PlanGenPipeline(params, cfg.model, proc, gen_cfg=gen_cfg)
+
+
+def _build_auto_int4(params, model_cfg):
+    """Dual-resident routing form (generation.quantize='auto'): the int4
+    tree next to the dense one, sharing every non-LM subtree by reference.
+    Rejected when the DENSE LM weights alone exceed half a v5e's HBM —
+    at 7B scale bf16 weights (~14.5 GB) + int4 copies cannot co-reside;
+    pick one form explicitly there ('int8_kv' or 'int4')."""
+    if _artifact_quant_form(params) is not None:
+        raise ValueError(
+            "generation.quantize='auto' needs the DENSE checkpoint (it "
+            "builds the int4 tree next to it); this artifact is already "
+            "quantized — serve it with its own form instead"
+        )
+    lm = model_cfg.llama
+    lm_bytes = 2 * lm.num_layers * (
+        lm.hidden_size * (lm.q_dim + 2 * lm.kv_dim)
+        + lm.q_dim * lm.hidden_size
+        + 3 * lm.hidden_size * lm.intermediate_size
+    )
+    if lm_bytes > 6e9:
+        raise ValueError(
+            f"generation.quantize='auto' keeps bf16 AND int4 LM weights "
+            f"resident; this model's dense LM tower is "
+            f"{lm_bytes / 2 ** 30:.1f} GiB — too large to dual-host on one "
+            f"16 GB chip. Use 'int8_kv' (large-batch) or 'int4' (latency)."
+        )
+    from plangen_tpu.ops.quant import quantize_lm_params_int4_shared
+
+    return quantize_lm_params_int4_shared(params)
 
 
 def _artifact_quant_form(params) -> str | None:
@@ -89,6 +123,8 @@ def _apply_quantize(params, mode):
                 f"{mode!r} — reconvert the artifact or change the config"
             )
         return params
+    if mode == "int8_kv":
+        return params  # bf16 weights; the int8 KV cache is a decode flag
     if mode == "int8":
         from plangen_tpu.ops.quant import quantize_lm_params
 

@@ -115,8 +115,14 @@ class PlanGenPipeline:
         processor: PlanGenProcessor,
         gen_cfg: Optional[GenerationConfig] = None,
         compute_dtype=None,
+        params_int4: Optional[Params] = None,
     ):
         self.params = params
+        # generation.quantize="auto": the int4 tree (shares every non-LM
+        # subtree with `params` by reference — ops/quant.py
+        # quantize_lm_params_int4_shared); decode programs route between
+        # the two at the measured batch crossover (_params_for)
+        self.params_int4 = params_int4
         self.cfg = model_cfg
         self.proc = processor
         self.gen = gen_cfg or processor.gen
@@ -131,9 +137,27 @@ class PlanGenPipeline:
 
     @property
     def _quantized_cache(self) -> bool:
-        # every quantized weight mode pairs with the int8 KV cache; one
-        # predicate so a future mode cannot miss a decode path
-        return self.gen.quantize in ("int8", "int4", "int4_a8")
+        # every quantized mode pairs with the int8 KV cache; one predicate
+        # so a future mode cannot miss a decode path. "int8_kv" IS the
+        # bf16-weights + int8-cache config (the measured-best B>=48 serving
+        # form); "auto" uses the int8 cache on both weight routes so the
+        # cache layout never depends on the batch size
+        return self.gen.quantize in (
+            "int8", "int4", "int4_a8", "int8_kv", "auto"
+        )
+
+    def _params_for(self, n_rows: int) -> Params:
+        """Batch-aware weight-format routing (generation.quantize="auto"):
+        at <= auto_int4_max_rows matmul rows the decode is weight-read
+        bound and the int4 tree wins; above it the M>=96 matmuls run
+        FASTER from bf16 (int operands stream through the MXU at ~the
+        bf16 element rate — DESIGN.md §8/§12, BENCH_SWEEP.json). Without
+        the dual-resident form this returns the single configured tree."""
+        if self.params_int4 is None:
+            return self.params
+        if n_rows <= self.gen.auto_int4_max_rows:
+            return self.params_int4
+        return self.params
 
     # when True, _detokenize returns the DEVICE array without the host fetch;
     # the consumer np.asarray's it on its own thread. Serving sets this so
@@ -170,7 +194,7 @@ class PlanGenPipeline:
                 max_new_tokens=budget,
             )
         return greedy_decode_text(
-            self.params, self.cfg, embeds, mask,
+            self._params_for(int(embeds.shape[0])), self.cfg, embeds, mask,
             jnp.int32(self.proc.tok.special.eos_id),
             max_new_tokens=budget,
             growing_cache=self.gen.growing_cache,
@@ -337,6 +361,8 @@ class PlanGenPipeline:
         B = prep.n_rows
         n_img = self.cfg.image_seq_len
         embeds, rng = prep.embeds, prep.rng
+        # CFG rows (2 x images x parallel_size) = the decode matmul M dim
+        params = self._params_for(int(embeds.shape[0]))
         gt_tokens, regen = prep.gt_tokens, prep.regen
         cfg_mask = prep.cfg_mask
         groundings = prep.groundings
@@ -356,7 +382,7 @@ class PlanGenPipeline:
                 frozen_chunk_schedule(prep.regen_np)
             )
             result = generate_image_tokens_fast_edit(
-                self.params,
+                params,
                 self.cfg,
                 embeds,
                 cfg_mask,
@@ -386,7 +412,7 @@ class PlanGenPipeline:
             from plangen_tpu.runtime.speculative import generate_image_tokens_spec
 
             result = generate_image_tokens_spec(
-                self.params,
+                params,
                 self.cfg,
                 embeds,
                 cfg_mask,
@@ -400,7 +426,7 @@ class PlanGenPipeline:
             )
         else:
             result = generate_image_tokens(
-                self.params,
+                params,
                 self.cfg,
                 embeds,
                 cfg_mask,
