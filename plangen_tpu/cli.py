@@ -79,7 +79,8 @@ def cmd_serve(args) -> None:
 
     cfg = load_config(args.cfg, args.opt)
     serve(cfg, host=args.host, port=args.port,
-          max_batch=args.max_batch, wait_ms=args.wait_ms)
+          max_batch=args.max_batch, wait_ms=args.wait_ms,
+          min_batch=args.min_batch)
 
 
 def cmd_convert(args) -> None:
@@ -151,6 +152,10 @@ def main(argv=None) -> None:
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8000)
     ps.add_argument("--max-batch", type=int, default=32)
+    ps.add_argument("--min-batch", type=int, default=1,
+                    help="floor the batch bucket (skip compiling small-"
+                         "bucket programs on a throughput-provisioned "
+                         "server; light load pays padding instead)")
     ps.add_argument("--wait-ms", type=float, default=20.0)
     ps.set_defaults(fn=cmd_serve)
 

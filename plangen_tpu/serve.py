@@ -99,9 +99,21 @@ class Batcher:
 
     # max_batch default matches the measured v5e throughput plateau (B=32-64,
     # README perf table) — B=8 leaves ~25% of chip throughput on the floor
-    def __init__(self, pipeline, max_batch: int = 32, wait_ms: float = 20.0):
+    def __init__(self, pipeline, max_batch: int = 32, wait_ms: float = 20.0,
+                 min_batch: int = 1):
+        # min_batch floors the bucket choice: a throughput-provisioned
+        # server (steady high load) only ever runs its top bucket(s), so
+        # raising the floor skips compiling the small-bucket programs —
+        # each is minutes on the axon remote compiler — at the cost of
+        # padding rows under light load (counted in stats["padded_rows"])
+        if not 1 <= min_batch <= max_batch:
+            raise ValueError(
+                f"min_batch must be in [1, max_batch={max_batch}], "
+                f"got {min_batch}"
+            )
         self.pipe = pipeline
         self.max_batch = max_batch
+        self.min_batch = min_batch
         self.wait_s = wait_ms / 1000.0
         self.q: "queue.Queue[_Request]" = queue.Queue()
         # device_s = device-owner time inside _run (dispatch + device +
@@ -217,7 +229,7 @@ class Batcher:
 
     def _bucket(self, n: int) -> int:
         for b in self.BUCKETS:
-            if b >= n:
+            if b >= max(n, self.min_batch):
                 return min(b, self.max_batch)
         return self.max_batch
 
@@ -586,7 +598,8 @@ def make_handler(batcher: Batcher):
 
 
 def serve(cfg, host: str = "127.0.0.1", port: int = 8000,
-          max_batch: int = 32, wait_ms: float = 20.0, params=None):
+          max_batch: int = 32, wait_ms: float = 20.0, params=None,
+          min_batch: int = 1):
     """Build the pipeline and serve until interrupted."""
     import dataclasses
 
@@ -607,7 +620,8 @@ def serve(cfg, host: str = "127.0.0.1", port: int = 8000,
     # np.asarray the deferred device array), overlapping the tunnel transfer
     # with the next batch's device work
     pipe.defer_fetch = True
-    batcher = Batcher(pipe, max_batch=max_batch, wait_ms=wait_ms)
+    batcher = Batcher(pipe, max_batch=max_batch, wait_ms=wait_ms,
+                      min_batch=min_batch)
 
     class _Server(ThreadingHTTPServer):
         # default listen backlog is 5: a burst of max_batch concurrent
@@ -617,7 +631,8 @@ def serve(cfg, host: str = "127.0.0.1", port: int = 8000,
 
     httpd = _Server((host, port), make_handler(batcher))
     print(f"serving on http://{host}:{httpd.server_address[1]} "
-          f"(max_batch={max_batch}, wait_ms={wait_ms})", flush=True)
+          f"(max_batch={max_batch}, min_batch={min_batch}, "
+          f"wait_ms={wait_ms})", flush=True)
     try:
         httpd.serve_forever()
     finally:

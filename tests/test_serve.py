@@ -422,3 +422,49 @@ class TestDeferFetchServing:
         finally:
             httpd.shutdown()
             batcher.close()
+
+
+class TestMinBatch:
+    """min_batch floors the bucket so a throughput-provisioned server never
+    compiles (or runs) the small-bucket programs."""
+
+    def _batcher(self, **kw):
+        tok = ByteFallbackTokenizer(vocab_size=TINY.llama.vocab_size)
+        params = vlm.init(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+        proc = PlanGenProcessor(
+            tok, image_tokens=TINY.image_seq_len,
+            gen=GenerationConfig(max_new_text_tokens=4),
+        )
+        return Batcher(PlanGenPipeline(params, TINY, proc), **kw)
+
+    def test_bucket_floor(self):
+        b = self._batcher(max_batch=8, wait_ms=5.0, min_batch=4)
+        try:
+            assert b._bucket(1) == 4
+            assert b._bucket(4) == 4
+            assert b._bucket(5) == 8
+            assert b._bucket(9) == 8  # still capped at max_batch
+        finally:
+            b.close()
+
+    def test_invalid_min_batch_rejected(self):
+        with pytest.raises(ValueError, match="min_batch"):
+            self._batcher(max_batch=4, wait_ms=5.0, min_batch=5)
+        with pytest.raises(ValueError, match="min_batch"):
+            self._batcher(max_batch=4, wait_ms=5.0, min_batch=0)
+
+    def test_single_request_pads_to_floor(self):
+        """One /plan request on a min_batch=2 server runs in a padded
+        2-row batch and still returns a valid result."""
+        b = self._batcher(max_batch=4, wait_ms=10.0, min_batch=2)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(b))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            code, out = post(base, "/plan", {"caption": "a cat"})
+            assert code == 200 and "grounding" in out
+            assert b.stats["padded_rows"] >= 1
+        finally:
+            httpd.shutdown()
+            b.close()
