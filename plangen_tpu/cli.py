@@ -80,7 +80,7 @@ def cmd_serve(args) -> None:
     cfg = load_config(args.cfg, args.opt)
     serve(cfg, host=args.host, port=args.port,
           max_batch=args.max_batch, wait_ms=args.wait_ms,
-          min_batch=args.min_batch)
+          min_batch=args.min_batch, warmup_spec=args.warmup)
 
 
 def cmd_convert(args) -> None:
@@ -152,6 +152,11 @@ def main(argv=None) -> None:
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8000)
     ps.add_argument("--max-batch", type=int, default=32)
+    ps.add_argument("--warmup", default=None,
+                    help="pre-compile (mode, bucket) programs before "
+                         "accepting traffic, e.g. 'generate:32,plan:8' — "
+                         "the port binds only once the listed shapes are "
+                         "compile-warm")
     ps.add_argument("--min-batch", type=int, default=1,
                     help="floor the batch bucket (skip compiling small-"
                          "bucket programs on a throughput-provisioned "

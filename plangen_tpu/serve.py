@@ -597,9 +597,58 @@ def make_handler(batcher: Batcher):
     return Handler
 
 
+def _warmup_payloads(mode: str, n: int, n_img: int) -> List[Dict[str, Any]]:
+    """n synthetic payloads for one warmup batch of `mode`."""
+    base: Dict[str, Any]
+    g = ("<grounding><ref>warmup</ref><box>[100, 100, 500, 500]</box>"
+         "</grounding>")
+    if mode == "generate":
+        base = {"caption": "warmup", "grounding": g}
+    elif mode == "plan":
+        base = {"caption": "warmup"}
+    elif mode == "joint":
+        base = {"caption": "warmup"}
+    elif mode == "understand":
+        img = np.zeros((32, 32, 3), dtype=np.uint8)
+        base = {"image_b64": _png_b64(img)}
+    elif mode == "edit":
+        img = np.zeros((32, 32, 3), dtype=np.uint8)
+        base = {"caption": "warmup", "grounding": g,
+                "image_b64": _png_b64(img),
+                "edit_region": [1] * (n_img // 2) + [0] * (n_img - n_img // 2)}
+    else:
+        raise ValueError(f"unknown warmup mode {mode!r}")
+    return [{**base, "seed": i} for i in range(n)]
+
+
+def warmup(batcher: "Batcher", spec: str, timeout: float = 3600.0) -> None:
+    """Pre-compile (mode, bucket) programs by driving the REAL request path
+    with synthetic batches BEFORE the server accepts traffic.
+
+    `spec` is "mode:batch,mode:batch,..." (e.g. "generate:32,plan:8").
+    Each group is submitted as one burst so it forms a single batch of its
+    bucket; the embed/decode/VQ programs for that shape compile during the
+    drain (minutes each on the axon remote compiler — that is the point:
+    pay it at startup, not on the first client request)."""
+    n_img = batcher.pipe.cfg.image_seq_len
+    for item in spec.split(","):
+        mode, _, b = item.strip().partition(":")
+        n = int(b) if b else batcher.max_batch
+        t0 = time.perf_counter()
+        reqs = [batcher.submit(mode, p)
+                for p in _warmup_payloads(mode, n, n_img)]
+        for r in reqs:
+            if not r.done.wait(timeout=timeout):
+                raise TimeoutError(f"warmup {mode}:{n} exceeded {timeout}s")
+            if r.error:
+                raise RuntimeError(f"warmup {mode}:{n} failed: {r.error}")
+        print(f"warmup {mode}:{n} done in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+
+
 def serve(cfg, host: str = "127.0.0.1", port: int = 8000,
           max_batch: int = 32, wait_ms: float = 20.0, params=None,
-          min_batch: int = 1):
+          min_batch: int = 1, warmup_spec: Optional[str] = None):
     """Build the pipeline and serve until interrupted."""
     import dataclasses
 
@@ -622,6 +671,8 @@ def serve(cfg, host: str = "127.0.0.1", port: int = 8000,
     pipe.defer_fetch = True
     batcher = Batcher(pipe, max_batch=max_batch, wait_ms=wait_ms,
                       min_batch=min_batch)
+    if warmup_spec:
+        warmup(batcher, warmup_spec)
 
     class _Server(ThreadingHTTPServer):
         # default listen backlog is 5: a burst of max_batch concurrent

@@ -468,3 +468,44 @@ class TestMinBatch:
         finally:
             httpd.shutdown()
             b.close()
+
+
+class TestWarmup:
+    """serve.warmup drives the real request path with synthetic batches so
+    every listed (mode, bucket) program compiles before the port binds."""
+
+    def test_warmup_all_modes(self):
+        from plangen_tpu.serve import warmup
+
+        tok = ByteFallbackTokenizer(vocab_size=TINY.llama.vocab_size)
+        params = vlm.init(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+        proc = PlanGenProcessor(
+            tok, image_tokens=TINY.image_seq_len,
+            gen=GenerationConfig(max_new_text_tokens=4),
+        )
+        b = Batcher(PlanGenPipeline(params, TINY, proc),
+                    max_batch=4, wait_ms=10.0)
+        try:
+            warmup(b, "generate:2,plan:2,understand:1,edit:2,joint:1",
+                   timeout=600.0)
+            assert b.stats["batches"] >= 5
+            assert b.stats["requests"] == 8
+        finally:
+            b.close()
+
+    def test_warmup_bad_mode_raises(self):
+        from plangen_tpu.serve import warmup
+
+        tok = ByteFallbackTokenizer(vocab_size=TINY.llama.vocab_size)
+        params = vlm.init(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+        proc = PlanGenProcessor(
+            tok, image_tokens=TINY.image_seq_len,
+            gen=GenerationConfig(max_new_text_tokens=4),
+        )
+        b = Batcher(PlanGenPipeline(params, TINY, proc),
+                    max_batch=2, wait_ms=10.0)
+        try:
+            with pytest.raises(ValueError, match="warmup mode"):
+                warmup(b, "nosuchmode:2")
+        finally:
+            b.close()
