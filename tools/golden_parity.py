@@ -433,9 +433,21 @@ def main(argv=None) -> int:
     ap.add_argument("--cfg", default=None,
                     help="config .py (default: full Janus-Pro-1B dims)")
     ap.add_argument("--opt", nargs="*", default=[], help="dotted overrides")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX platform. Parity runs should pin "
+                    "this: the torch reference side is CPU fp32, and which "
+                    "backend OUR side lands on otherwise depends on the "
+                    "environment — a cross-platform greedy argmax tie can "
+                    "flip a token (observed: flaky mmu mismatch on a tiny "
+                    "random checkpoint when this process competed for the "
+                    "remote TPU)")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        # before any device query — env vars cannot deselect the axon plugin
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from plangen_tpu.cli import load_config

@@ -71,6 +71,11 @@ def main(argv=None) -> int:
     ap.add_argument("--tiny", action="store_true",
                     help="dry-run on a tiny checkpoint (CI); implies "
                          "--skip-bench and --skip-eval unless given")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX platform for the golden_parity and "
+                         "eval stages (the torch capture side is always "
+                         "CPU); tiny CI runs pin cpu so parity never "
+                         "depends on, or competes for, the remote TPU")
     ap.add_argument("--eval-task", default="plan",
                     help="layout-metric eval task (stage 3)")
     ap.add_argument("--eval-data", default=None,
@@ -85,6 +90,8 @@ def main(argv=None) -> int:
                     help="combined report path "
                          "(default <workdir>/parity_combined.json)")
     args = ap.parse_args(argv)
+    if args.platform is None and args.tiny:
+        args.platform = "cpu"  # hermetic CI: see --platform help
 
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
@@ -117,11 +124,16 @@ def main(argv=None) -> int:
         cmd += ["--finetune", args.finetune]
     if args.cfg:
         cmd += ["--cfg", args.cfg]
+    if args.platform:
+        cmd += ["--platform", args.platform]
     stages.append(_run("golden_parity", cmd, workdir))
 
     # ---- 3. layout-metric eval (reference-compatible artifact tree) --------
     if args.eval_data:
-        cmd = [sys.executable, "-m", "plangen_tpu.cli", "eval",
+        cmd = [sys.executable, "-m", "plangen_tpu.cli"]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        cmd += ["eval",
                "--task", args.eval_task, "--data", args.eval_data,
                "--max-len", args.eval_max_len,
                "--output", workdir / "eval",
