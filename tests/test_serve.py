@@ -509,3 +509,77 @@ class TestWarmup:
                 warmup(b, "nosuchmode:2")
         finally:
             b.close()
+
+
+class TestBusyDrain:
+    """While the device is busy, _drain keeps collecting (a fuller batch is
+    free) until just-enough time remains to prep before the device frees —
+    instead of snapshotting the queue a device-cycle early and firing
+    partial buckets under saturating load."""
+
+    @staticmethod
+    def _quiet_batcher(max_batch=8, wait_ms=10.0):
+        import time as _t
+        from plangen_tpu.serve import _Request
+
+        tok = ByteFallbackTokenizer(vocab_size=TINY.llama.vocab_size)
+        params = vlm.init(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+        proc = PlanGenProcessor(
+            tok, image_tokens=TINY.image_seq_len,
+            gen=GenerationConfig(max_new_text_tokens=4),
+        )
+        b = Batcher(PlanGenPipeline(params, TINY, proc),
+                    max_batch=max_batch, wait_ms=wait_ms)
+        # stop the worker threads so the test owns _drain deterministically
+        b._stop.set()
+        b._thread.join(timeout=5)
+        b._prep_thread.join(timeout=5)
+        assert not b._thread.is_alive() and not b._prep_thread.is_alive()
+        b._stop.clear()
+        return b, _Request, _t
+
+    def test_busy_device_extends_collection(self):
+        b, _Request, _t = self._quiet_batcher()
+        # simulate: device started a ~1.2 s batch just now, prep is cheap
+        b._exec_start = _t.perf_counter()
+        b._ema_dev = 1.2
+        b._ema_prep = 0.05
+        b._exec_busy.set()
+        for _ in range(2):
+            b.q.put(_Request("plan", {"caption": "early"}))
+
+        def late():
+            _t.sleep(0.4)  # far beyond wait_ms=10
+            for _ in range(4):
+                b.q.put(_Request("plan", {"caption": "late"}))
+
+        th = threading.Thread(target=late, daemon=True)
+        th.start()
+        t0 = _t.perf_counter()
+        batch = b._drain()
+        th.join()
+        # collected the late arrivals (old behavior: 2 rows after 10 ms)
+        assert len(batch) == 6
+        # and released with prep-lead margin BEFORE the device's est. finish
+        assert _t.perf_counter() - t0 < 1.2
+
+    def test_idle_device_keeps_wait_ms_latency(self):
+        b, _Request, _t = self._quiet_batcher()
+        b._ema_dev = 1.2  # known, but the device is NOT busy
+        b.q.put(_Request("plan", {"caption": "solo"}))
+        t0 = _t.perf_counter()
+        batch = b._drain()
+        assert len(batch) == 1
+        assert _t.perf_counter() - t0 < 0.5  # wait_ms scale, not ema_dev
+
+    def test_past_deadline_flushes_immediately(self):
+        b, _Request, _t = self._quiet_batcher()
+        # device busy but its estimated finish has already passed
+        b._exec_start = _t.perf_counter() - 5.0
+        b._ema_dev = 1.0
+        b._exec_busy.set()
+        b.q.put(_Request("plan", {"caption": "x"}))
+        t0 = _t.perf_counter()
+        batch = b._drain()
+        assert len(batch) == 1
+        assert _t.perf_counter() - t0 < 0.5
