@@ -76,6 +76,35 @@ def quantize_lm_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return _quantize_lm(params, quantize_weight)
 
 
+# same-input projection pairs packed as ONE int4 leaf: quantizing the
+# CONCAT of the two weights puts the first's columns in the lo nibbles and
+# the second's in the hi nibbles (the packed format's global-halves
+# pairing), so a single pallas_call computes both projections — per-column
+# scales and fp32 column dots are unchanged, so outputs are bit-identical
+# to the split form. Measured 1.31x (M=2) / 1.23x (M=64) on the pair
+# (tools/bench_int4_fuse.py; BENCH_SWEEP.json "int4_fuse"). Pairs with
+# mismatched shapes (GQA kv != q) fall back to split leaves.
+INT4_FUSED_PAIRS = (
+    ("q_proj", "k_proj", "q_k_proj"),
+    ("gate_proj", "up_proj", "gate_up_proj"),
+)
+
+
+def _fuse_pairs(layers: Dict[str, Any]) -> Dict[str, Any]:
+    """{a, b} -> {fused} for same-shape pairs; returns a plan of
+    (fused_key, [leaf keys to quantize from])."""
+    plan = {}
+    consumed = set()
+    for a, b, fk in INT4_FUSED_PAIRS:
+        if layers[a].shape == layers[b].shape:
+            plan[fk] = (a, b)
+            consumed.update((a, b))
+    for k in _LM_QUANT_KEYS:
+        if k not in consumed:
+            plan[k] = (k,)
+    return plan
+
+
 def quantize_lm_params_int4(
     params: Dict[str, Any], act_int8: bool = False
 ) -> Dict[str, Any]:
@@ -85,14 +114,28 @@ def quantize_lm_params_int4(
     channel scales (the int8 scheme's granularity — coarser than group-wise
     int4, acceptable for the serving path and trivially upgradable).
     `act_int8=True` selects the W4A8 decode kernel (int8 activations +
-    s8 x s8 MXU dots, ~10% faster at the layer level; prefill unchanged)."""
-    import functools
-
+    s8 x s8 MXU dots, ~10% faster at the layer level; prefill unchanged).
+    Same-input projection pairs are packed fused (INT4_FUSED_PAIRS)."""
     from plangen_tpu.ops.pallas_int4_matmul import quantize_weight_int4
 
-    return _quantize_lm(
-        params, functools.partial(quantize_weight_int4, act_int8=act_int8)
+    out = dict(params)
+    lm = dict(out["language_model"])
+    layers = dict(lm["layers"])
+    for fk, srcs in _fuse_pairs(layers).items():
+        w = (layers[srcs[0]] if len(srcs) == 1 else
+             jnp.concatenate([layers.pop(srcs[0]), layers.pop(srcs[1])],
+                             axis=-1))
+        layers[fk] = quantize_weight_int4(w, act_int8=act_int8)
+    lm["layers"] = layers
+    lm["lm_head"] = quantize_weight_int4(lm["lm_head"], act_int8=act_int8)
+    out["language_model"] = lm
+    gen_head = dict(out["gen_head"])
+    gen_head["fc2"] = dict(gen_head["fc2"])
+    gen_head["fc2"]["w"] = quantize_weight_int4(
+        gen_head["fc2"]["w"], act_int8=act_int8
     )
+    out["gen_head"] = gen_head
+    return out
 
 
 def quantize_lm_params_int4_shared(
@@ -110,18 +153,39 @@ def quantize_lm_params_int4_shared(
     from plangen_tpu.ops.pallas_int4_matmul import quantize_weight_int4
 
     lm = params["language_model"]
-    leaves = {k: lm["layers"][k] for k in _LM_QUANT_KEYS}
-    leaves["lm_head"] = lm["lm_head"]
-    leaves["gen_head_fc2"] = params["gen_head"]["fc2"]["w"]
+    plan = _fuse_pairs(lm["layers"])
+    leaves = {
+        fk: tuple(lm["layers"][s] for s in srcs) for fk, srcs in plan.items()
+    }
+    leaves["lm_head"] = (lm["lm_head"],)
+    leaves["gen_head_fc2"] = (params["gen_head"]["fc2"]["w"],)
 
     def _q(t):
         return {
-            k: quantize_weight_int4(v, act_int8=act_int8)
-            for k, v in t.items()
+            k: quantize_weight_int4(
+                vs[0] if len(vs) == 1 else jnp.concatenate(vs, axis=-1),
+                act_int8=act_int8,
+            )
+            for k, vs in t.items()
         }
 
     q = jax.jit(_q)(leaves)
-    return _stitch_lm(params, lambda key, _w: q[key])
+
+    out = dict(params)
+    lm_out = dict(out["language_model"])
+    layers = dict(lm_out["layers"])
+    for fk, srcs in plan.items():
+        for s in srcs:
+            layers.pop(s, None)
+        layers[fk] = q[fk]
+    lm_out["layers"] = layers
+    lm_out["lm_head"] = q["lm_head"]
+    out["language_model"] = lm_out
+    gen_head = dict(out["gen_head"])
+    gen_head["fc2"] = dict(gen_head["fc2"])
+    gen_head["fc2"]["w"] = q["gen_head_fc2"]
+    out["gen_head"] = gen_head
+    return out
 
 
 def _quantize_lm(params: Dict[str, Any], qfn) -> Dict[str, Any]:

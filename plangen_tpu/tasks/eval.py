@@ -106,7 +106,10 @@ def _build_auto_int4(params, model_cfg):
 def _artifact_quant_form(params) -> str | None:
     """'int8'/'int4'/'int4_a8' if the tree is already quantized, else None
     (pre-quantized artifacts from `cli convert --quantize`)."""
-    q = params["language_model"]["layers"]["q_proj"]
+    layers = params["language_model"]["layers"]
+    # int4 artifacts carry the fused q|k leaf (ops/quant.py
+    # INT4_FUSED_PAIRS); older split-form artifacts still load and run
+    q = layers["q_k_proj"] if "q_k_proj" in layers else layers["q_proj"]
     if not isinstance(q, dict):
         return None
     if "w_q8" in q:

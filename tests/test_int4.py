@@ -107,6 +107,26 @@ class TestKernel:
             rtol=2e-2, atol=2e-2,
         )
 
+    def test_fused_pair_bit_identical_to_split(self):
+        """Quantizing the CONCAT of two same-input projections (the fused
+        q|k / gate|up leaves, ops/quant.py INT4_FUSED_PAIRS) must produce
+        bit-identical outputs to the two split matmuls: per-column absmax
+        scales and codes are unchanged by concatenation — only the nibble
+        pairing moves."""
+        wa = _rand_w(KEY, I, O)
+        wb = _rand_w(jax.random.PRNGKey(11), I, O)
+        x = jax.random.normal(jax.random.PRNGKey(12), (4, I), jnp.bfloat16)
+        fused = int4_matmul(
+            x, quantize_weight_int4(jnp.concatenate([wa, wb], axis=-1)),
+            interpret=True,
+        )
+        split = jnp.concatenate(
+            [int4_matmul(x, quantize_weight_int4(wa), interpret=True),
+             int4_matmul(x, quantize_weight_int4(wb), interpret=True)],
+            axis=-1,
+        )
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(split))
+
     def test_qmatmul_dispatch(self):
         q = quantize_weight_int4(_rand_w(KEY, I, O))
         x = jax.random.normal(jax.random.PRNGKey(3), (2, I), jnp.bfloat16)
@@ -253,10 +273,13 @@ class TestDecodeEquivalence:
         # quantization is pure reshape/round math; run it abstractly too
         qshapes = jax.eval_shape(quantize_lm_params_int4, shapes)
         lay = qshapes["language_model"]["layers"]
-        assert set(lay["q_proj"]) == {"w_p4", "s_lo", "s_hi16"}
+        # same-input pairs pack as ONE fused leaf (ops/quant.py
+        # INT4_FUSED_PAIRS): gate|up concat doubles the columns, packing
+        # halves them back — the fused w_p4 is exactly intermediate_size wide
+        assert set(lay["q_k_proj"]) == {"w_p4", "s_lo", "s_hi16"}
         L, h = cfg.llama.num_layers, cfg.llama.hidden_size
-        assert lay["gate_proj"]["w_p4"].shape == (
-            L, h, cfg.llama.intermediate_size // 2
+        assert lay["gate_up_proj"]["w_p4"].shape == (
+            L, h, cfg.llama.intermediate_size
         )
         assert qshapes["language_model"]["lm_head"]["w_p4"].shape == (
             h, cfg.llama.vocab_size // 2
