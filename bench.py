@@ -262,11 +262,19 @@ def sweep_text() -> None:
     key = jax.random.PRNGKey(0)
     out_path = Path(__file__).parent / "BENCH_SWEEP.json"
     doc = json.loads(out_path.read_text()) if out_path.exists() else {"rows": []}
+    # BENCH_SWEEP_ONLY subset + per-row merge, as in sweep()
+    only = os.environ.get("BENCH_SWEEP_ONLY")
+    only_set = set(only.split(",")) if only else None
     rows = []
+    if only_set:
+        rows = [r for r in doc.get("text_rows", [])
+                if r.get("config") not in only_set]
 
     for name, wmode, kv_int8 in SWEEP_CONFIGS:
         if name == "int4_a8":
             continue  # text path uses the same kernels as int4
+        if only_set is not None and name not in only_set:
+            continue
         params = _init_quantized_params(cfg, key, wmode)
         embeds = jax.random.normal(
             jax.random.PRNGKey(2), (B, L, cfg.llama.hidden_size),

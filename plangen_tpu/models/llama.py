@@ -136,8 +136,8 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 def mlp_block(p: Params, x: jax.Array) -> jax.Array:
     if "gate_up_proj" in p:
         # fused int4 pair: one pallas_call computes both projections from
-        # one packed tile (ops/quant.py INT4_FUSED_PAIRS); bit-identical
-        # per-column outputs, measured 1.2-1.3x on the pair
+        # one packed tile (ops/quant.py INT4_FUSED_GROUPS); bit-identical
+        # per-column outputs, measured 1.07-1.46x on the pair
         gu = qmatmul(x, p["gate_up_proj"])
         half = gu.shape[-1] // 2
         gate, up = jax.nn.silu(gu[..., :half]), gu[..., half:]
@@ -195,20 +195,29 @@ def _layer(
         k = xin.reshape(B, Q, cfg.num_kv_heads, cfg.head_dim)
         v = xin.reshape(B, Q, cfg.num_kv_heads, cfg.head_dim)
     else:
-        if "q_k_proj" in p:
-            # fused int4 pair (see mlp_block); LoRA deltas stay per-proj
-            qk = qmatmul(xin, p["q_k_proj"])
-            half = qk.shape[-1] // 2
-            q_flat = qk[..., :half] + _lora_delta(lora, "q_proj", xin)
-            k_flat = qk[..., half:] + _lora_delta(lora, "k_proj", xin)
+        if "qkv_proj" in p:
+            # fused int4 triple (ops/quant.py INT4_FUSED_GROUPS, MHA): one
+            # pallas_call for all three same-input projections; outputs are
+            # bit-identical to the split form. LoRA deltas stay per-proj.
+            qkv = qmatmul(xin, p["qkv_proj"])
+            qd, kd = cfg.q_dim, cfg.kv_dim
+            q_flat = qkv[..., :qd] + _lora_delta(lora, "q_proj", xin)
+            k_flat = qkv[..., qd:qd + kd] + _lora_delta(lora, "k_proj", xin)
+            v_flat = qkv[..., qd + kd:] + _lora_delta(lora, "v_proj", xin)
+        elif "k_v_proj" in p:
+            # GQA fallback: q is wider than kv, so only k|v pack together
+            q_flat = qmatmul(xin, p["q_proj"]) + _lora_delta(lora, "q_proj", xin)
+            kv = qmatmul(xin, p["k_v_proj"])
+            kd = kv.shape[-1] // 2
+            k_flat = kv[..., :kd] + _lora_delta(lora, "k_proj", xin)
+            v_flat = kv[..., kd:] + _lora_delta(lora, "v_proj", xin)
         else:
             q_flat = qmatmul(xin, p["q_proj"]) + _lora_delta(lora, "q_proj", xin)
             k_flat = qmatmul(xin, p["k_proj"]) + _lora_delta(lora, "k_proj", xin)
+            v_flat = qmatmul(xin, p["v_proj"]) + _lora_delta(lora, "v_proj", xin)
         q = q_flat.reshape(B, Q, cfg.num_heads, cfg.head_dim)
         k = k_flat.reshape(B, Q, cfg.num_kv_heads, cfg.head_dim)
-        v = (qmatmul(xin, p["v_proj"]) + _lora_delta(lora, "v_proj", xin)).reshape(
-            B, Q, cfg.num_kv_heads, cfg.head_dim
-        )
+        v = v_flat.reshape(B, Q, cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 

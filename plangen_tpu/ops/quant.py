@@ -76,29 +76,37 @@ def quantize_lm_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return _quantize_lm(params, quantize_weight)
 
 
-# same-input projection pairs packed as ONE int4 leaf: quantizing the
-# CONCAT of the two weights puts the first's columns in the lo nibbles and
-# the second's in the hi nibbles (the packed format's global-halves
-# pairing), so a single pallas_call computes both projections — per-column
-# scales and fp32 column dots are unchanged, so outputs are bit-identical
-# to the split form. Measured 1.31x (M=2) / 1.23x (M=64) on the pair
-# (tools/bench_int4_fuse.py; BENCH_SWEEP.json "int4_fuse"). Pairs with
-# mismatched shapes (GQA kv != q) fall back to split leaves.
-INT4_FUSED_PAIRS = (
-    ("q_proj", "k_proj", "q_k_proj"),
+# same-input projection GROUPS packed as ONE int4 leaf: quantizing the
+# CONCAT of N same-shape weights leaves per-column absmax scales and codes
+# unchanged (columns are independent), and the packed format's
+# global-halves nibble pairing is internal to the kernel — the fused
+# pallas_call's output is just the N projections concatenated, so outputs
+# are bit-identical to the split form while the kernel-call count drops
+# from 7 to 4 per decode layer. Measured on the triple/pair
+# (tools/bench_int4_fuse.py; BENCH_SWEEP.json "int4_fuse"): qkv 1.07x
+# (M=2) / 1.44x (M=64), gate|up 1.07x / 1.46x. Groups are tried in order;
+# a group applies only when every member has the same shape, so GQA
+# (kv narrower than q) falls through to the k|v pair.
+INT4_FUSED_GROUPS = (
+    ("q_proj", "k_proj", "v_proj", "qkv_proj"),
+    ("k_proj", "v_proj", "k_v_proj"),  # GQA fallback
     ("gate_proj", "up_proj", "gate_up_proj"),
 )
 
 
-def _fuse_pairs(layers: Dict[str, Any]) -> Dict[str, Any]:
-    """{a, b} -> {fused} for same-shape pairs; returns a plan of
-    (fused_key, [leaf keys to quantize from])."""
+def _fuse_plan(layers: Dict[str, Any]) -> Dict[str, Any]:
+    """Plan of fused_key -> (source leaf keys,); unfused keys map to
+    themselves. First applicable group (all members unconsumed, all shapes
+    equal) wins."""
     plan = {}
     consumed = set()
-    for a, b, fk in INT4_FUSED_PAIRS:
-        if layers[a].shape == layers[b].shape:
-            plan[fk] = (a, b)
-            consumed.update((a, b))
+    for grp in INT4_FUSED_GROUPS:
+        members, fk = grp[:-1], grp[-1]
+        if any(m in consumed for m in members):
+            continue
+        if len({layers[m].shape for m in members}) == 1:
+            plan[fk] = members
+            consumed.update(members)
     for k in _LM_QUANT_KEYS:
         if k not in consumed:
             plan[k] = (k,)
@@ -115,16 +123,15 @@ def quantize_lm_params_int4(
     int4, acceptable for the serving path and trivially upgradable).
     `act_int8=True` selects the W4A8 decode kernel (int8 activations +
     s8 x s8 MXU dots, ~10% faster at the layer level; prefill unchanged).
-    Same-input projection pairs are packed fused (INT4_FUSED_PAIRS)."""
+    Same-input projection groups are packed fused (INT4_FUSED_GROUPS)."""
     from plangen_tpu.ops.pallas_int4_matmul import quantize_weight_int4
 
     out = dict(params)
     lm = dict(out["language_model"])
     layers = dict(lm["layers"])
-    for fk, srcs in _fuse_pairs(layers).items():
+    for fk, srcs in _fuse_plan(layers).items():
         w = (layers[srcs[0]] if len(srcs) == 1 else
-             jnp.concatenate([layers.pop(srcs[0]), layers.pop(srcs[1])],
-                             axis=-1))
+             jnp.concatenate([layers.pop(s) for s in srcs], axis=-1))
         layers[fk] = quantize_weight_int4(w, act_int8=act_int8)
     lm["layers"] = layers
     lm["lm_head"] = quantize_weight_int4(lm["lm_head"], act_int8=act_int8)
@@ -153,7 +160,7 @@ def quantize_lm_params_int4_shared(
     from plangen_tpu.ops.pallas_int4_matmul import quantize_weight_int4
 
     lm = params["language_model"]
-    plan = _fuse_pairs(lm["layers"])
+    plan = _fuse_plan(lm["layers"])
     leaves = {
         fk: tuple(lm["layers"][s] for s in srcs) for fk, srcs in plan.items()
     }

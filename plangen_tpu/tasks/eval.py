@@ -107,9 +107,10 @@ def _artifact_quant_form(params) -> str | None:
     """'int8'/'int4'/'int4_a8' if the tree is already quantized, else None
     (pre-quantized artifacts from `cli convert --quantize`)."""
     layers = params["language_model"]["layers"]
-    # int4 artifacts carry the fused q|k leaf (ops/quant.py
-    # INT4_FUSED_PAIRS); older split-form artifacts still load and run
-    q = layers["q_k_proj"] if "q_k_proj" in layers else layers["q_proj"]
+    # int4 artifacts carry the fused q|k|v leaf (ops/quant.py
+    # INT4_FUSED_GROUPS; GQA artifacts keep q_proj split) — older
+    # split-form artifacts still load and run
+    q = layers.get("qkv_proj", layers.get("q_proj"))
     if not isinstance(q, dict):
         return None
     if "w_q8" in q:

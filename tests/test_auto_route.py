@@ -31,7 +31,7 @@ from plangen_tpu.config import (
 )
 from plangen_tpu.models import vlm
 from plangen_tpu.ops.quant import (
-    _fuse_pairs,
+    _fuse_plan,
     quantize_lm_params_int4,
     quantize_lm_params_int4_shared,
 )
@@ -83,10 +83,10 @@ class TestSharedQuantizer:
             is params["language_model"]["embed_tokens"]
         )
         assert q["gen_head"]["fc1"] is params["gen_head"]["fc1"]
-        # same-input pairs pack fused (INT4_FUSED_PAIRS; MHA dims here)
-        plan = _fuse_pairs(params["language_model"]["layers"])
-        assert set(plan) == {"q_k_proj", "v_proj", "o_proj",
-                             "gate_up_proj", "down_proj"}
+        # same-input groups pack fused (INT4_FUSED_GROUPS; MHA dims here)
+        plan = _fuse_plan(params["language_model"]["layers"])
+        assert set(plan) == {"qkv_proj", "o_proj", "gate_up_proj",
+                             "down_proj"}
         for k in plan:
             assert "w_p4" in q["language_model"]["layers"][k]
         assert "w_p4" in q["gen_head"]["fc2"]["w"]
@@ -96,9 +96,9 @@ class TestSharedQuantizer:
         the last grid step — never by more than one."""
         q_jit = quantize_lm_params_int4_shared(params)
         q_eager = quantize_lm_params_int4(params)
-        a = np.asarray(q_jit["language_model"]["layers"]["q_k_proj"]["w_p4"])
+        a = np.asarray(q_jit["language_model"]["layers"]["qkv_proj"]["w_p4"])
         b = np.asarray(
-            q_eager["language_model"]["layers"]["q_k_proj"]["w_p4"]
+            q_eager["language_model"]["layers"]["qkv_proj"]["w_p4"]
         )
         lo_d = np.abs((a.astype(np.int32) & 0xF) - (b.astype(np.int32) & 0xF))
         hi_d = np.abs((a.astype(np.int32) >> 4) - (b.astype(np.int32) >> 4))

@@ -107,25 +107,46 @@ class TestKernel:
             rtol=2e-2, atol=2e-2,
         )
 
-    def test_fused_pair_bit_identical_to_split(self):
-        """Quantizing the CONCAT of two same-input projections (the fused
-        q|k / gate|up leaves, ops/quant.py INT4_FUSED_PAIRS) must produce
-        bit-identical outputs to the two split matmuls: per-column absmax
-        scales and codes are unchanged by concatenation — only the nibble
-        pairing moves."""
-        wa = _rand_w(KEY, I, O)
-        wb = _rand_w(jax.random.PRNGKey(11), I, O)
-        x = jax.random.normal(jax.random.PRNGKey(12), (4, I), jnp.bfloat16)
+    @pytest.mark.parametrize("n_fused", [2, 3])
+    def test_fused_group_bit_identical_to_split(self, n_fused):
+        """Quantizing the CONCAT of N same-input projections (the fused
+        q|k|v / gate|up leaves, ops/quant.py INT4_FUSED_GROUPS) must
+        produce bit-identical outputs to the N split matmuls: per-column
+        absmax scales and codes are unchanged by concatenation — only the
+        nibble pairing moves, and that is internal to the kernel."""
+        ws = [_rand_w(jax.random.PRNGKey(10 + i), I, O)
+              for i in range(n_fused)]
+        x = jax.random.normal(jax.random.PRNGKey(20), (4, I), jnp.bfloat16)
         fused = int4_matmul(
-            x, quantize_weight_int4(jnp.concatenate([wa, wb], axis=-1)),
+            x, quantize_weight_int4(jnp.concatenate(ws, axis=-1)),
             interpret=True,
         )
         split = jnp.concatenate(
-            [int4_matmul(x, quantize_weight_int4(wa), interpret=True),
-             int4_matmul(x, quantize_weight_int4(wb), interpret=True)],
+            [int4_matmul(x, quantize_weight_int4(w), interpret=True)
+             for w in ws],
             axis=-1,
         )
         np.testing.assert_array_equal(np.asarray(fused), np.asarray(split))
+
+    def test_fuse_plan_gqa_fallback(self):
+        """GQA dims (kv narrower than q) skip the qkv triple and fuse only
+        the same-shape k|v pair; gate|up still fuses."""
+        from plangen_tpu.ops.quant import _fuse_plan
+
+        layers = {
+            "q_proj": jnp.zeros((2, 256, 512)),
+            "k_proj": jnp.zeros((2, 256, 128)),
+            "v_proj": jnp.zeros((2, 256, 128)),
+            "o_proj": jnp.zeros((2, 512, 256)),
+            "gate_proj": jnp.zeros((2, 256, 512)),
+            "up_proj": jnp.zeros((2, 256, 512)),
+            "down_proj": jnp.zeros((2, 512, 256)),
+        }
+        plan = _fuse_plan(layers)
+        assert plan["k_v_proj"] == ("k_proj", "v_proj")
+        assert plan["gate_up_proj"] == ("gate_proj", "up_proj")
+        assert plan["q_proj"] == ("q_proj",)
+        assert "qkv_proj" not in plan
 
     def test_qmatmul_dispatch(self):
         q = quantize_weight_int4(_rand_w(KEY, I, O))
@@ -217,6 +238,62 @@ class TestDecodeEquivalence:
         hd = np.asarray(run(dp), np.float32)
         np.testing.assert_allclose(hq, hd, rtol=5e-2, atol=5e-2)
 
+    @pytest.mark.parametrize("heads", [(2, 2), (4, 2)])
+    def test_fused_forward_exactly_matches_split(self, heads):
+        """Fused-group int4 trees (qkv or GQA k|v, gate|up) must produce
+        EXACTLY the hidden states of the split-leaf trees through prefill
+        + cached decode — the fusion is a packing change, not a numerics
+        change. (4, 2) = GQA dims: q wider than kv, the triple must not
+        fuse; smallest kv width the kernel's 128-lane tiling packs."""
+        import dataclasses
+
+        from plangen_tpu.ops.quant import _fuse_plan
+        from plangen_tpu.runtime.kvcache import init_kv_cache
+
+        n_heads, kv_heads = heads
+        cfg = dataclasses.replace(
+            _int4_cfg(), num_heads=n_heads, num_kv_heads=kv_heads
+        )
+        params = llama.init(KEY, cfg, dtype=jnp.bfloat16)
+        split = _quantize_layers(params)
+
+        fused = dict(split)
+        layers = dict(params["layers"])
+        flayers = dict(split["layers"])
+        for fk, srcs in _fuse_plan(layers).items():
+            if len(srcs) == 1:
+                continue
+            for s in srcs:
+                flayers.pop(s)
+            flayers[fk] = quantize_weight_int4(
+                jnp.concatenate([layers[s] for s in srcs], axis=-1)
+            )
+        fused["layers"] = flayers
+        if n_heads == kv_heads:
+            assert "qkv_proj" in flayers  # MHA: the triple fuses
+        else:
+            assert "k_v_proj" in flayers  # GQA: only k|v pair
+
+        B, P = 2, 8
+        embeds = jax.random.normal(
+            jax.random.PRNGKey(5), (B, P, cfg.hidden_size), jnp.bfloat16
+        )
+        mask = jnp.ones((B, P + 2), dtype=jnp.int32)
+
+        def run(p):
+            cache = init_kv_cache(cfg, B, P + 2)
+            h, cache = llama.forward(
+                p, cfg, embeds, mask, positions=jnp.arange(P),
+                kv_cache=cache,
+            )
+            h2, _ = llama.forward(
+                p, cfg, h[:, -1:], mask, positions=jnp.arange(P, P + 1),
+                kv_cache=cache,
+            )
+            return np.asarray(h2, np.float32)
+
+        np.testing.assert_array_equal(run(fused), run(split))
+
     def test_vlm_int4_generation_end_to_end(self):
         """quantize='int4' surface: full VLM (aligned small dims), int4
         weights + int8 KV cache through generate_image_tokens, compared to
@@ -273,11 +350,13 @@ class TestDecodeEquivalence:
         # quantization is pure reshape/round math; run it abstractly too
         qshapes = jax.eval_shape(quantize_lm_params_int4, shapes)
         lay = qshapes["language_model"]["layers"]
-        # same-input pairs pack as ONE fused leaf (ops/quant.py
-        # INT4_FUSED_PAIRS): gate|up concat doubles the columns, packing
-        # halves them back — the fused w_p4 is exactly intermediate_size wide
-        assert set(lay["q_k_proj"]) == {"w_p4", "s_lo", "s_hi16"}
+        # same-input groups pack as ONE fused leaf (ops/quant.py
+        # INT4_FUSED_GROUPS): concat multiplies the columns, packing halves
+        # them back — gate|up's fused w_p4 is exactly intermediate_size
+        # wide, q|k|v's is 3*hidden/2 (MHA dims at 1B)
+        assert set(lay["qkv_proj"]) == {"w_p4", "s_lo", "s_hi16"}
         L, h = cfg.llama.num_layers, cfg.llama.hidden_size
+        assert lay["qkv_proj"]["w_p4"].shape == (L, h, 3 * h // 2)
         assert lay["gate_up_proj"]["w_p4"].shape == (
             L, h, cfg.llama.intermediate_size
         )

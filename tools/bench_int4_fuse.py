@@ -102,6 +102,32 @@ def diff_time(call, n1, n2, repeats=5):
     return (med[n2] - med[n1]) / (n2 - n1) * 1e6
 
 
+# attention dims (1B MHA): q/k/v each [I, H] — candidate 3-way fuse
+H = 2048
+
+
+@functools.partial(jax.jit, static_argnames="n")
+def run_split3(q, k, v, x0, n):
+    def body(i, x):
+        l = jax.lax.rem(i, L)
+        a = int4_matmul(x, {**q, "_layer": l})
+        b = int4_matmul(x, {**k, "_layer": l})
+        c = int4_matmul(x, {**v, "_layer": l})
+        return _chain(x0, a * b + c)
+
+    return jax.lax.fori_loop(0, n, body, x0)
+
+
+@functools.partial(jax.jit, static_argnames="n")
+def run_fused3(fused, x0, n):
+    def body(i, x):
+        l = jax.lax.rem(i, L)
+        y = int4_matmul(x, {**fused, "_layer": l})
+        return _chain(x0, y[:, :H] * y[:, H:2*H] + y[:, 2*H:])
+
+    return jax.lax.fori_loop(0, n, body, x0)
+
+
 def main():
     rows = []
     key = jax.random.PRNGKey(0)
@@ -110,16 +136,26 @@ def main():
     up = _packed(jax.random.fold_in(key, 2), O // 2)
     # fused: concat([gate, up], -1) -> [L, I, 2O] -> packed OH = O = 5632
     fused = _packed(jax.random.fold_in(key, 3), O)
+    # qkv: three [L, I, H] -> fused [L, I, 3H], packed OH = 3H/2 = 3072
+    q3 = _packed(jax.random.fold_in(key, 4), H // 2)
+    k3 = _packed(jax.random.fold_in(key, 5), H // 2)
+    v3 = _packed(jax.random.fold_in(key, 6), H // 2)
+    qkv = _packed(jax.random.fold_in(key, 7), 3 * H // 2)
     for m in (2, 64):
         x0 = jax.random.normal(key, (m, I), dtype=jnp.bfloat16)
         n1, n2 = 480, 1920  # multiples of L so both end on layer boundary
         us_split = diff_time(lambda n: run_split(gate, up, x0, n), n1, n2)
         us_fused = diff_time(lambda n: run_fused(fused, x0, n), n1, n2)
+        us_s3 = diff_time(lambda n: run_split3(q3, k3, v3, x0, n), n1, n2)
+        us_f3 = diff_time(lambda n: run_fused3(qkv, x0, n), n1, n2)
         row = {
             "rows_m": m,
             "us_per_layer_split": round(us_split, 2),
             "us_per_layer_fused": round(us_fused, 2),
             "speedup": round(us_split / us_fused, 3),
+            "qkv_us_split3": round(us_s3, 2),
+            "qkv_us_fused3": round(us_f3, 2),
+            "qkv_speedup": round(us_s3 / us_f3, 3),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -128,9 +164,10 @@ def main():
     doc = json.loads(out_path.read_text()) if out_path.exists() else {}
     doc["int4_fuse"] = {
         "note": (
-            "gate+up as 2 pallas_calls vs 1 fused packed call "
-            "(tools/bench_int4_fuse.py, differential us/layer at 1B MLP "
-            "dims, decode fori_loop over 24 stacked layers)"
+            "same-input projections as N pallas_calls vs 1 fused packed "
+            "call: gate|up pair at 1B MLP dims, q|k|v triple at 1B attn "
+            "dims (tools/bench_int4_fuse.py, differential us/layer, decode "
+            "fori_loop over 24 stacked layers)"
         ),
         "rows": rows,
     }
