@@ -548,7 +548,42 @@ def main() -> None:
             record["sweep_file"] = "BENCH_SWEEP.json (committed)"
         except Exception:
             pass
+    # BENCH_MODEL=7b runs merge into BENCH_SWEEP.json's bench_7b section
+    # (keyed by batch) so the README 7B table stays machine-readable like
+    # the 1B matrix; read-merge-write as in sweep()
+    if os.environ.get("BENCH_MODEL") == "7b":
+        merge_7b_record(sweep_path, B, wmode, quantized_cache,
+                        tokens_per_sec, extra)
     print(json.dumps(record))
+
+
+def merge_7b_record(sweep_path, B, wmode, kv_int8, tokens_per_sec, extra):
+    """Merge one BENCH_MODEL=7b run into BENCH_SWEEP.json's bench_7b rows,
+    keyed by batch (a refresh at the same batch replaces its row; other
+    batches keep their measurements, as sweep() does per (config, batch))."""
+    row = {"batch": B, "wmode": wmode, "kv_int8": kv_int8,
+           "decode_tokens_per_sec": round(tokens_per_sec, 2)}
+    for m in extra:
+        k = m["metric"]
+        if k.startswith("e2e p50"):
+            row["e2e_p50_s_b1"] = m["value"]
+        elif k.startswith("e2e images/min"):
+            row["e2e_images_per_min"] = m["value"]
+        elif k.startswith("sustained e2e"):
+            row["sustained_images_per_min"] = m["value"]
+        elif k.startswith("MMU/plan"):
+            row["text_tokens_per_sec_128"] = m["value"]
+    doc = json.loads(sweep_path.read_text()) if sweep_path.exists() else {}
+    sec = doc.setdefault("bench_7b", {
+        "note": ("Janus-Pro-7B dims on ONE 16 GB v5e chip "
+                 "(BENCH_MODEL=7b BENCH_INT4=1 BENCH_INT8_KV=1 "
+                 "python bench.py; round-4 fused-projection int4)"),
+        "rows": [],
+    })
+    sec["rows"] = ([r for r in sec.get("rows", [])
+                    if r.get("batch") != B] + [row])
+    sec["rows"].sort(key=lambda r: r.get("batch", 0))
+    sweep_path.write_text(json.dumps(doc, indent=1))
 
 
 if __name__ == "__main__":
