@@ -322,6 +322,11 @@ class OptimConfig:
     lr_scheduler: str = "constant"
     lr_warmup_steps: int = 0
     gradient_accumulation_steps: int = 1
+    # "adamw" (reference recipe, cfg/base.py:53-60) | "adafactor" (factored
+    # second moment, no first moment: optimizer state is ~rows+cols per
+    # matrix instead of 2x params — makes full stage3 fit ONE 16 GB chip,
+    # where AdamW's moments alone add ~5.8 GB at 1.45B trainable params)
+    optimizer: str = "adamw"
 
 
 @dataclass(frozen=True)

@@ -14,6 +14,11 @@ freeze parameter subtrees:
 Masking uses `optax.masked` over path predicates; frozen params get zero
 updates and are excluded from weight decay. LoRA (reference 'lora' mode via
 peft) is provided separately in plangen_tpu.train.lora.
+
+`OptimConfig.optimizer="adafactor"` swaps AdamW for factored-second-moment
+Adafactor (no first moment): optimizer state drops from 2x trainable params
+to ~rows+cols per matrix, which makes full stage3 fit a single 16 GB chip
+(the AdamW stage3 path needs >=2 chips with FSDP — DESIGN.md section 6).
 """
 
 from __future__ import annotations
@@ -103,15 +108,35 @@ def make_optimizer(
     """Returns (tx, trainable_mask_tree)."""
     mask = trainable_mask(params, tuning_mode)
     frozen = jax.tree_util.tree_map(lambda m: not m, mask)
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
+    if cfg.optimizer == "adafactor":
+        # Factored second moment (row+col vectors for matrices >=128 wide),
+        # no first moment: state is ~0 bytes next to AdamW's 2x-params
+        # moments, which is what lets full stage3 (1.45B trainable) fit one
+        # 16 GB chip (DESIGN.md section 6). multiply_by_parameter_scale is
+        # OFF so `learning_rate` keeps the reference recipe's Adam-style
+        # magnitude (update = lr * g / sqrt(v^)), not T5's relative step
+        # size; Adafactor's own RMS update clipping (threshold 1.0) stays.
+        inner = optax.adafactor(
+            learning_rate=make_lr_schedule(cfg),
+            multiply_by_parameter_scale=False,
+            momentum=None,
+            weight_decay_rate=cfg.adam_weight_decay or None,
+        )
+    elif cfg.optimizer == "adamw":
+        inner = optax.adamw(
             learning_rate=make_lr_schedule(cfg),
             b1=cfg.adam_beta1,
             b2=cfg.adam_beta2,
             eps=cfg.adam_epsilon,
             weight_decay=cfg.adam_weight_decay,
-        ),
+        )
+    else:
+        raise ValueError(
+            f"unknown optimizer {cfg.optimizer!r}; options: adamw, adafactor"
+        )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        inner,
     )
     # optax.masked applies tx to trainable leaves but passes raw gradients
     # through for the rest — frozen leaves must be explicitly zeroed

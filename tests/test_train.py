@@ -174,6 +174,59 @@ class TestTrainStep:
         assert float(metrics["loss_plan_lm_2"]) == 0.0
 
 
+class TestAdafactor:
+    """optimizer='adafactor': the single-chip stage3 path (DESIGN.md §6)."""
+
+    def test_unknown_optimizer_rejected(self):
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        with pytest.raises(ValueError, match="unknown optimizer"):
+            make_optimizer(OptimConfig(optimizer="sgd"), params, "stage3")
+
+    def test_train_step_loss_decreases_frozen_unchanged(self):
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        cfg = TrainConfig(
+            optim=OptimConfig(learning_rate=1e-3, optimizer="adafactor")
+        )
+        tx, _ = make_optimizer(cfg.optim, params, "stage3")
+        step = make_train_step(
+            TINY, cfg, tx, PAD, ((0, "uni"), (1, "mmu"), (2, "plan")),
+            compute_dtype=jnp.float32, donate=False,
+        )
+        state = init_train_state(params, tx)
+        batches = make_batches()
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batches)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+        for b, a in zip(
+            jax.tree_util.tree_leaves(params["gen_vision_model"]),
+            jax.tree_util.tree_leaves(state.params["gen_vision_model"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+        q0 = np.asarray(params["language_model"]["layers"]["q_proj"])
+        q1 = np.asarray(state.params["language_model"]["layers"]["q_proj"])
+        assert not np.array_equal(q0, q1)
+
+    def test_second_moment_is_factored_at_real_dims(self):
+        # The memory claim: a [2048, 5632] MLP weight's second moment is
+        # stored as row+col vectors (7680 floats), not 11.5M — AdamW's mu+nu
+        # for the same leaf would be 2x 11.5M
+        w = {"mlp": jnp.zeros((2048, 5632), dtype=jnp.float32)}
+        tx, _ = make_optimizer(
+            OptimConfig(optimizer="adafactor"), w, "all"
+        )
+        state = tx.init(w)
+        n_param = 2048 * 5632
+        n_state = sum(
+            int(x.size) for x in jax.tree_util.tree_leaves(state)
+            if hasattr(x, "size")
+        )
+        assert n_state < 0.01 * n_param, (
+            f"adafactor state {n_state} elements for {n_param} params"
+        )
+
+
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
         from plangen_tpu.train.checkpoint import PlanGenCheckpointer

@@ -70,7 +70,8 @@ def bench_mode(mode: str, cfg, shapes) -> dict:
             ),
         )
     tcfg = TrainConfig(
-        optim=OptimConfig(), gradient_checkpointing=remat, master_dtype=master,
+        optim=OptimConfig(optimizer=os.environ.get("TRAIN_OPT", "adamw")),
+        gradient_checkpointing=remat, master_dtype=master,
         use_flash_attention=use_flash, fused_lm_ce=fused_ce,
     )
     tx, _ = make_optimizer(tcfg.optim, params, mode)
@@ -137,6 +138,7 @@ def bench_mode(mode: str, cfg, shapes) -> dict:
         mem_gb = None
     return {
         "mode": mode,
+        "optimizer": tcfg.optim.optimizer,
         "ms_per_step": round(sec * 1e3, 1),
         "samples_per_sec": round(total_samples / sec, 2),
         "lm_tokens_per_sec": round(lm_tokens / sec, 1),
@@ -177,10 +179,18 @@ def main():
         try:
             rows.append(bench_mode(mode, cfg, shapes))
         except Exception as e:  # records e.g. stage3's single-chip OOM
-            rows.append({"mode": mode, "error": type(e).__name__,
+            rows.append({"mode": mode,
+                         "optimizer": os.environ.get("TRAIN_OPT", "adamw"),
+                         "error": type(e).__name__,
                          "error_note": str(e)[:300]})
         print(json.dumps(rows[-1]), flush=True)
         doc = json.loads(out_path.read_text()) if out_path.exists() else {}
+        # merge by (mode, optimizer) over the committed rows, as the decode
+        # sweep merges by (config, batch): a subset refresh (e.g.
+        # TRAIN_OPT=adafactor BENCH_TRAIN_MODES=stage3) keeps other rows
+        fresh = {(r["mode"], r.get("optimizer", "adamw")) for r in rows}
+        kept = [r for r in doc.get("train", {}).get("rows", [])
+                if (r.get("mode"), r.get("optimizer", "adamw")) not in fresh]
         doc["train"] = {
             "note": (
                 "multi-task train step on one chip (tools/bench_train.py): "
@@ -194,7 +204,7 @@ def main():
                 "text_len": shapes[3], "remat": shapes[4],
                 "master_dtype": shapes[5],
             },
-            "rows": rows,
+            "rows": kept + rows,
         }
         out_path.write_text(json.dumps(doc, indent=1))
     print(json.dumps({"train_rows": len(rows), "out": str(out_path)}))
