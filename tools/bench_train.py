@@ -179,10 +179,12 @@ def main():
         try:
             rows.append(bench_mode(mode, cfg, shapes))
         except Exception as e:  # records e.g. stage3's single-chip OOM
+            import re
+            note = re.sub(r"\x1b\[[0-9;]*m", "", str(e))  # strip ANSI codes
             rows.append({"mode": mode,
                          "optimizer": os.environ.get("TRAIN_OPT", "adamw"),
                          "error": type(e).__name__,
-                         "error_note": str(e)[:300]})
+                         "error_note": note[:300]})
         print(json.dumps(rows[-1]), flush=True)
         doc = json.loads(out_path.read_text()) if out_path.exists() else {}
         # merge by (mode, optimizer) over the committed rows, as the decode
