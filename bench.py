@@ -262,13 +262,14 @@ def sweep_text() -> None:
     key = jax.random.PRNGKey(0)
     out_path = Path(__file__).parent / "BENCH_SWEEP.json"
     doc = json.loads(out_path.read_text()) if out_path.exists() else {"rows": []}
-    # BENCH_SWEEP_ONLY subset + per-row merge, as in sweep()
+    # BENCH_SWEEP_ONLY subset + per-(config, batch) merge, as in sweep():
+    # a B=64 run keeps the B=32 rows and vice versa
     only = os.environ.get("BENCH_SWEEP_ONLY")
     only_set = set(only.split(",")) if only else None
-    rows = []
-    if only_set:
-        rows = [r for r in doc.get("text_rows", [])
-                if r.get("config") not in only_set]
+    refreshed = {(c, B) for c, _, _ in SWEEP_CONFIGS
+                 if only_set is None or c in only_set}
+    rows = [r for r in doc.get("text_rows", [])
+            if (r.get("config"), r.get("batch")) not in refreshed]
 
     for name, wmode, kv_int8 in SWEEP_CONFIGS:
         if name == "int4_a8":
