@@ -132,7 +132,17 @@ def _init_quantized_params(cfg, key, wmode):
         return jax.jit(
             lambda k: quantize_lm_params(vlm.init(k, cfg, dtype=jnp.bfloat16))
         )(key)
-    return jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16))(key)
+    # dense (bf16 / int8_kv). BENCH_FUSE_DENSE=1 opts into the fused q|k|v
+    # leaf (ops/quant.py::fuse_dense_qkv) — measured e2e A/B: B=1 +26%,
+    # B=32 -6%, B=64 -20%, so like the production default it stays OFF
+    # (generation.fuse_dense_qkv docstring has the numbers).
+    from plangen_tpu.ops.quant import fuse_dense_qkv
+
+    fuse = fuse_dense_qkv if os.environ.get("BENCH_FUSE_DENSE") == "1" \
+        else (lambda p: p)
+    return jax.jit(
+        lambda k: fuse(vlm.init(k, cfg, dtype=jnp.bfloat16))
+    )(key)
 
 
 def sweep() -> None:
@@ -377,7 +387,13 @@ def main() -> None:
             lambda k: quantize_lm_params(vlm.init(k, cfg, dtype=jnp.bfloat16))
         )(key)
     else:
-        params = jax.jit(lambda k: vlm.init(k, cfg, dtype=jnp.bfloat16))(key)
+        from plangen_tpu.ops.quant import fuse_dense_qkv
+
+        fuse = fuse_dense_qkv if os.environ.get("BENCH_FUSE_DENSE") == "1" \
+            else (lambda p: p)
+        params = jax.jit(
+            lambda k: fuse(vlm.init(k, cfg, dtype=jnp.bfloat16))
+        )(key)
     quantized_cache = os.environ.get("BENCH_INT8_KV") == "1"
 
     from functools import partial

@@ -273,6 +273,18 @@ class GenerationConfig:
     # einsum's int8 operand re-layouts dominate (DESIGN.md §8, closed by
     # tools/bench_mxu_stream.py). Requires `quantize` set.
     kv_a8: bool = False
+    # concat the dense q|k|v (GQA: k|v) leaves into the fused key the layer
+    # already consumes: ONE [I, 3H] dot instead of three [I, H] dots —
+    # bit-identical (columns are independent, same K accumulation;
+    # tests/test_dense_fuse.py). MEASURED MIXED e2e and kept OFF: the
+    # same-hour A/B on int8_kv (BENCH_NO_FUSE rows vs fused) showed B=1
+    # +26% (254 vs 201 tok/s) but B=32 -6% and B=64 -20% (3445 vs 4278) —
+    # the isolated layer microbench's 1.13-1.19x (tools/bench_dense_fuse
+    # .py) does not survive the real program at M>=64, where the fused
+    # output's split/reshape costs more than the dot saves. The B=1 regime
+    # this helps is already owned by the int4 route (664 tok/s), so the
+    # flag stays opt-in for pure-bf16 B=1 latency setups only.
+    fuse_dense_qkv: bool = False
     fast_edit: bool = False  # prefill frozen runs during teacher-forced editing
     # segmented growing KV cache: ~23% faster decode at B=32, token streams
     # matched the fixed buffer in every test and on-chip run

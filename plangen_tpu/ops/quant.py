@@ -102,7 +102,7 @@ def _fuse_plan(layers: Dict[str, Any]) -> Dict[str, Any]:
     consumed = set()
     for grp in INT4_FUSED_GROUPS:
         members, fk = grp[:-1], grp[-1]
-        if any(m in consumed for m in members):
+        if any(m in consumed or m not in layers for m in members):
             continue
         if len({layers[m].shape for m in members}) == 1:
             plan[fk] = members
@@ -111,6 +111,39 @@ def _fuse_plan(layers: Dict[str, Any]) -> Dict[str, Any]:
         if k not in consumed:
             plan[k] = (k,)
     return plan
+
+
+def fuse_dense_qkv(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Concat the DENSE q|k|v (GQA: k|v) projection leaves into the fused
+    key models/llama.py::_layer already consumes — one [I, 3H] dot per
+    layer instead of three [I, H] dots. Bit-identical outputs (output
+    columns are independent and the K-axis accumulation is unchanged);
+    measured 1.13x (M=64) / 1.19x (M=128) per layer on the qkv triple,
+    while gate|up measured 1.0x and stays split (tools/bench_dense_fuse.py,
+    BENCH_SWEEP.json "dense_fuse").
+
+    Load-time DECODE transform (tasks/eval.py build_pipeline): checkpoints,
+    the trainer, and TP sharding keep the split layout. Quantized leaves
+    (dicts) pass through untouched — the int4 path fuses at quantize time
+    instead (INT4_FUSED_GROUPS)."""
+    lm = params["language_model"]
+    layers = dict(lm["layers"])
+    for grp in INT4_FUSED_GROUPS[:2]:  # qkv triple, then the GQA k|v pair
+        members, fk = grp[:-1], grp[-1]
+        ws = [layers.get(m) for m in members]
+        if any(w is None or isinstance(w, dict) for w in ws):
+            continue
+        if len({w.shape for w in ws}) != 1:
+            continue
+        for m in members:
+            layers.pop(m)
+        layers[fk] = jnp.concatenate(ws, axis=-1)
+        break
+    out = dict(params)
+    lm_out = dict(lm)
+    lm_out["layers"] = layers
+    out["language_model"] = lm_out
+    return out
 
 
 def quantize_lm_params_int4(

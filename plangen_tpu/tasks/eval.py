@@ -67,10 +67,26 @@ def build_pipeline(cfg: PlanGenConfig, params=None) -> PlanGenPipeline:
         gen_cfg = dataclasses.replace(gen_cfg, quantize=have)
     if gen_cfg.quantize == "auto":
         params_int4 = _build_auto_int4(params, cfg.model)
+        params = _maybe_fuse_dense(params, gen_cfg)  # dense route only —
+        # the int4 tree was built from the split layout above and is
+        # already fused at quantize time (INT4_FUSED_GROUPS)
         return PlanGenPipeline(params, cfg.model, proc, gen_cfg=gen_cfg,
                                params_int4=params_int4)
     params = _apply_quantize(params, gen_cfg.quantize)
+    params = _maybe_fuse_dense(params, gen_cfg)
     return PlanGenPipeline(params, cfg.model, proc, gen_cfg=gen_cfg)
+
+
+def _maybe_fuse_dense(params, gen_cfg):
+    """Dense-decode load transform: concat q|k|v into the fused leaf the
+    layer consumes (ops/quant.py fuse_dense_qkv — bit-identical, measured
+    1.13-1.19x on the triple). No-op for quantized trees (dict leaves) and
+    when generation.fuse_dense_qkv=false."""
+    if not getattr(gen_cfg, "fuse_dense_qkv", True):
+        return params
+    from plangen_tpu.ops.quant import fuse_dense_qkv
+
+    return fuse_dense_qkv(params)
 
 
 def _build_auto_int4(params, model_cfg):
