@@ -135,7 +135,12 @@ class Trainer:
         # NOT orbax-coordinated (metrics.jsonl, params.jsonl) are written by
         # the lead process only — matching Accelerate's is_main_process
         # gating in the reference (train.py:199-210)
-        self.logger = MetricsLogger(tcfg.output_dir)
+        # tensorboard writer only on the lead process: a non-lead
+        # SummaryWriter would create (empty) per-process event files and a
+        # writer thread for a logger whose log() calls are lead-gated anyway
+        self.logger = MetricsLogger(
+            tcfg.output_dir, use_tensorboard=self.is_lead
+        )
         self._batch_sharding = batch_sharding(self.mesh)
 
     def _dump_trainable_names(self):
@@ -288,7 +293,12 @@ class Trainer:
             batch_size=td.batch_size,
             params=params if params is not None else self.state.params,
             global_step=step,
-            metrics_cb=lambda agg: self.logger.log(
-                step, {f"val/{k}": v for k, v in agg.items()}
+            # lead-gated like the step logging: in a multi-process run every
+            # process validates the same (replicated) params over its shard,
+            # but metrics.jsonl has one writer
+            metrics_cb=(
+                (lambda agg: self.logger.log(
+                    step, {f"val/{k}": v for k, v in agg.items()}
+                )) if self.is_lead else (lambda agg: None)
             ),
         )
