@@ -367,33 +367,17 @@ def main() -> None:
                   if os.environ.get(e) == "1"]
     if len(quant_envs) > 1:
         sys.exit(f"bench: {' and '.join(quant_envs)} are mutually exclusive")
-    # jit the init: one compiled program instead of per-op tunnel dispatches
-    if os.environ.get("BENCH_INT4") == "1" or os.environ.get("BENCH_INT4_A8") == "1":
-        from plangen_tpu.ops.quant import quantize_lm_params_int4
-
-        a8 = os.environ.get("BENCH_INT4_A8") == "1"
-        # init+quantize in ONE program: XLA frees each dense weight once its
-        # int4 form exists, so 7B fits (separate programs would materialize
-        # the full 14.5 GB bf16 tree first)
-        params = jax.jit(
-            lambda k: quantize_lm_params_int4(
-                vlm.init(k, cfg, dtype=jnp.bfloat16), act_int8=a8
-            )
-        )(key)
+    # one jitted init+quantize program (shared with the sweep): XLA frees
+    # each dense weight once its quantized form exists, so 7B fits
+    if os.environ.get("BENCH_INT4") == "1":
+        wmode = "int4"
+    elif os.environ.get("BENCH_INT4_A8") == "1":
+        wmode = "int4_a8"
     elif os.environ.get("BENCH_INT8") == "1":
-        from plangen_tpu.ops.quant import quantize_lm_params
-
-        params = jax.jit(
-            lambda k: quantize_lm_params(vlm.init(k, cfg, dtype=jnp.bfloat16))
-        )(key)
+        wmode = "int8"
     else:
-        from plangen_tpu.ops.quant import fuse_dense_qkv
-
-        fuse = fuse_dense_qkv if os.environ.get("BENCH_FUSE_DENSE") == "1" \
-            else (lambda p: p)
-        params = jax.jit(
-            lambda k: fuse(vlm.init(k, cfg, dtype=jnp.bfloat16))
-        )(key)
+        wmode = None
+    params = _init_quantized_params(cfg, key, wmode)
     quantized_cache = os.environ.get("BENCH_INT8_KV") == "1"
 
     from functools import partial
@@ -520,13 +504,7 @@ def main() -> None:
         })
 
     # roofline for the headline config itself
-    wmode = "bf16"
-    if os.environ.get("BENCH_INT4") == "1":
-        wmode = "int4"
-    elif os.environ.get("BENCH_INT4_A8") == "1":
-        wmode = "int4_a8"
-    elif os.environ.get("BENCH_INT8") == "1":
-        wmode = "int8"
+    wmode = wmode or "bf16"
     floor = _hbm_floor_s_per_step(
         cfg, B, wmode, quantized_cache,
         os.environ.get("BENCH_GROWING", "1") == "1", L,
@@ -576,8 +554,9 @@ def main() -> None:
 
 def merge_7b_record(sweep_path, B, wmode, kv_int8, tokens_per_sec, extra):
     """Merge one BENCH_MODEL=7b run into BENCH_SWEEP.json's bench_7b rows,
-    keyed by batch (a refresh at the same batch replaces its row; other
-    batches keep their measurements, as sweep() does per (config, batch))."""
+    keyed by (batch, wmode, kv_int8) — a refresh of the same config+batch
+    replaces its row; different quant configs at the same batch accumulate,
+    as sweep() does per (config, batch)."""
     row = {"batch": B, "wmode": wmode, "kv_int8": kv_int8,
            "decode_tokens_per_sec": round(tokens_per_sec, 2)}
     for m in extra:
@@ -597,9 +576,11 @@ def merge_7b_record(sweep_path, B, wmode, kv_int8, tokens_per_sec, extra):
                  "python bench.py; round-4 fused-projection int4)"),
         "rows": [],
     })
+    key = (B, wmode, kv_int8)
     sec["rows"] = ([r for r in sec.get("rows", [])
-                    if r.get("batch") != B] + [row])
-    sec["rows"].sort(key=lambda r: r.get("batch", 0))
+                    if (r.get("batch"), r.get("wmode"),
+                        r.get("kv_int8")) != key] + [row])
+    sec["rows"].sort(key=lambda r: (r.get("batch", 0), str(r.get("wmode"))))
     sweep_path.write_text(json.dumps(doc, indent=1))
 
 

@@ -157,25 +157,9 @@ def quantize_lm_params_int4(
     `act_int8=True` selects the W4A8 decode kernel (int8 activations +
     s8 x s8 MXU dots, ~10% faster at the layer level; prefill unchanged).
     Same-input projection groups are packed fused (INT4_FUSED_GROUPS)."""
-    from plangen_tpu.ops.pallas_int4_matmul import quantize_weight_int4
-
-    out = dict(params)
-    lm = dict(out["language_model"])
-    layers = dict(lm["layers"])
-    for fk, srcs in _fuse_plan(layers).items():
-        w = (layers[srcs[0]] if len(srcs) == 1 else
-             jnp.concatenate([layers.pop(s) for s in srcs], axis=-1))
-        layers[fk] = quantize_weight_int4(w, act_int8=act_int8)
-    lm["layers"] = layers
-    lm["lm_head"] = quantize_weight_int4(lm["lm_head"], act_int8=act_int8)
-    out["language_model"] = lm
-    gen_head = dict(out["gen_head"])
-    gen_head["fc2"] = dict(gen_head["fc2"])
-    gen_head["fc2"]["w"] = quantize_weight_int4(
-        gen_head["fc2"]["w"], act_int8=act_int8
-    )
-    out["gen_head"] = gen_head
-    return out
+    plan, leaves = _int4_leaves(params)
+    q = _quantize_int4_leaves(leaves, act_int8)
+    return _stitch_int4(params, plan, q)
 
 
 def quantize_lm_params_int4_shared(
@@ -190,8 +174,15 @@ def quantize_lm_params_int4_shared(
     (Numerics may differ from the eager `quantize_lm_params_int4` in scale
     LSBs — XLA reassociates the absmax reductions; both forms are valid
     int4 codes and each path pins its own golden stream.)"""
-    from plangen_tpu.ops.pallas_int4_matmul import quantize_weight_int4
+    plan, leaves = _int4_leaves(params)
+    q = jax.jit(lambda t: _quantize_int4_leaves(t, act_int8))(leaves)
+    return _stitch_int4(params, plan, q)
 
+
+def _int4_leaves(params):
+    """(fuse plan, {leaf_key: (source weights,)}) for the int4 quantizers —
+    the single place that decides WHICH leaves quantize (fused groups per
+    INT4_FUSED_GROUPS + lm_head + gen_head.fc2)."""
     lm = params["language_model"]
     plan = _fuse_plan(lm["layers"])
     leaves = {
@@ -199,18 +190,25 @@ def quantize_lm_params_int4_shared(
     }
     leaves["lm_head"] = (lm["lm_head"],)
     leaves["gen_head_fc2"] = (params["gen_head"]["fc2"]["w"],)
+    return plan, leaves
 
-    def _q(t):
-        return {
-            k: quantize_weight_int4(
-                vs[0] if len(vs) == 1 else jnp.concatenate(vs, axis=-1),
-                act_int8=act_int8,
-            )
-            for k, vs in t.items()
-        }
 
-    q = jax.jit(_q)(leaves)
+def _quantize_int4_leaves(leaves, act_int8):
+    from plangen_tpu.ops.pallas_int4_matmul import quantize_weight_int4
 
+    return {
+        k: quantize_weight_int4(
+            vs[0] if len(vs) == 1 else jnp.concatenate(vs, axis=-1),
+            act_int8=act_int8,
+        )
+        for k, vs in leaves.items()
+    }
+
+
+def _stitch_int4(params, plan, q):
+    """Rebuild the tree with the quantized leaves from `q` per `plan`;
+    every untouched subtree is shared by reference (the counterpart of
+    _stitch_lm for the fused-group int4 layout)."""
     out = dict(params)
     lm_out = dict(out["language_model"])
     layers = dict(lm_out["layers"])

@@ -216,6 +216,14 @@ class Batcher:
         # or an unrelated request sharing its microbatch
         self._req_seed(req)
         self._req_ps(req)
+        if mode in ("generate", "joint", "plan") and not isinstance(
+            payload.get("caption"), str
+        ):
+            # required for the captioned modes (edit may legitimately send
+            # an empty/absent caption — removal uses an empty target); the
+            # shared _prepare uses .get(), so a missing key would otherwise
+            # silently generate from "" instead of failing THIS request
+            raise ValueError(f"{mode} request requires a string 'caption'")
         if mode == "edit":
             # validate AND cache: the rasterized region replaces any
             # "edit_boxes" so _run doesn't re-run build_edit_region on the
@@ -232,16 +240,35 @@ class Batcher:
         # _loop submit has an inline fallback for that case too)
         self._thread.join(timeout=60)
         self._prep_thread.join(timeout=10)
+        # a batch the prep thread handed off that the device-owner never
+        # took (it saw _stop first) would leave its HTTP waiters blocked on
+        # done.wait() forever — drain and error-finalize any leftover
+        while True:
+            try:
+                batch, _prepared = self._ready.get_nowait()
+            except queue.Empty:
+                break
+            for r in batch:
+                r.error = "RuntimeError: server shutting down"
+            self._finalize(batch)
         self._asm_pool.shutdown(wait=True)  # let in-flight results land
         self._png_pool.shutdown(wait=False)
 
     # ------------------------------------------------------------- internals
 
-    def _bucket(self, n: int) -> int:
+    def _bucket(self, n: int, ps: int = 1) -> int:
+        # min_batch/max_batch are device-row budgets (each request occupies
+        # ps image rows), so both the floor and the cap scale down by the
+        # batch's parallel_size: a --min-batch 32 server receiving ps=4
+        # generate requests must floor at 8 REQUESTS (32 rows), not pad to
+        # 32 requests = 128 rows x 2 CFG — an unwarmed (minutes of remote
+        # compile mid-flight), possibly OOM shape 4x past the ceiling
+        cap = max(1, self.max_batch // ps)
+        floor = min(max(1, self.min_batch // ps), cap)
         for b in self.BUCKETS:
-            if b >= max(n, self.min_batch):
-                return min(b, self.max_batch)
-        return self.max_batch
+            if b >= max(n, floor):
+                return min(b, cap)
+        return cap
 
     @staticmethod
     def _req_seed(req: _Request) -> int:
@@ -453,7 +480,10 @@ class Batcher:
         DESIGN.md §11 measured in the device-owner path."""
         mode = batch[0].mode
         n = len(batch)
-        bucket = self._bucket(n)
+        # image modes with parallel_size occupy ps device rows per request
+        ps_rows = (self._req_ps(batch[0])
+                   if mode in ("generate", "joint") else 1)
+        bucket = self._bucket(n, ps=ps_rows)
         with self._stats_lock:
             self.stats["padded_rows"] += bucket - n
 

@@ -116,11 +116,20 @@ def make_optimizer(
         # OFF so `learning_rate` keeps the reference recipe's Adam-style
         # magnitude (update = lr * g / sqrt(v^)), not T5's relative step
         # size; Adafactor's own RMS update clipping (threshold 1.0) stays.
+        # optax.adafactor applies add_decayed_weights AFTER
+        # scale_by_learning_rate, so weight_decay_rate is a PER-STEP decay
+        # fraction, NOT AdamW's lr-scaled decoupled decay — passing the raw
+        # recipe wd (0.01) would shrink every weight by 1%/step and collapse
+        # training in ~2k steps. AdamW's effective decay is lr*wd per step;
+        # reproduce that (exact for the constant-lr reference recipe; during
+        # a warmup phase AdamW's decay ramps with lr while this stays
+        # constant — a negligible, documented mismatch).
+        wd = cfg.adam_weight_decay * cfg.learning_rate
         inner = optax.adafactor(
             learning_rate=make_lr_schedule(cfg),
             multiply_by_parameter_scale=False,
             momentum=None,
-            weight_decay_rate=cfg.adam_weight_decay or None,
+            weight_decay_rate=wd or None,
         )
     elif cfg.optimizer == "adamw":
         inner = optax.adamw(

@@ -57,3 +57,34 @@ def test_runbook_tiny_end_to_end(tmp_path):
         assert Path(s["log"]).exists()
     # the layout eval wrote its reference-compatible artifact tree
     assert (workdir / "eval").exists()
+
+
+def test_finish_status_set_mirrors_golden_parity(tmp_path):
+    """'no_golden' (mode absent from the capture) and 'logit_injection'
+    (pre-token_probs golden) are NON-failures in golden_parity's own exit
+    logic — the combined report must not flag them as mismatches, or a
+    legitimate --skip-capture re-run goes red on weights day."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_parity", REPO / "tools" / "run_parity.py"
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    out = tmp_path / "combined.json"
+    stages = [{"stage": "golden_parity", "rc": 0, "log": "x"}]
+    parity = [
+        {"mode": "plan", "status": "match"},
+        {"mode": "uni", "status": "logit_injection"},
+        {"mode": "rm", "status": "no_golden"},
+        {"mode": "losses", "status": "prob_match"},
+    ]
+    assert rp._finish(out, stages, parity) == 0
+    rep = json.loads(out.read_text())
+    assert rep["ok"] is True and rep["mismatched_modes"] == []
+
+    parity.append({"mode": "mmu", "status": "mismatch"})
+    assert rp._finish(out, stages, parity) == 1
+    rep = json.loads(out.read_text())
+    assert rep["ok"] is False and rep["mismatched_modes"] == ["mmu"]

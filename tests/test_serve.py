@@ -447,6 +447,20 @@ class TestMinBatch:
         finally:
             b.close()
 
+    def test_bucket_floor_and_cap_scale_with_parallel_size(self):
+        """min_batch/max_batch are device-ROW budgets: with parallel_size=4
+        a --min-batch 32 server must floor at 8 REQUESTS, not pad to 32
+        requests = 4x the compiled row ceiling (an unwarmed, possibly OOM
+        shape)."""
+        b = self._batcher(max_batch=8, wait_ms=5.0, min_batch=8)
+        try:
+            assert b._bucket(1, ps=4) == 2   # floor 8 rows / ps
+            assert b._bucket(2, ps=4) == 2   # cap 8 rows / ps
+            assert b._bucket(5, ps=4) == 2   # never exceeds the row cap
+            assert b._bucket(1, ps=1) == 8   # ps=1 unchanged
+        finally:
+            b.close()
+
     def test_invalid_min_batch_rejected(self):
         with pytest.raises(ValueError, match="min_batch"):
             self._batcher(max_batch=4, wait_ms=5.0, min_batch=5)
@@ -467,6 +481,49 @@ class TestMinBatch:
             assert b.stats["padded_rows"] >= 1
         finally:
             httpd.shutdown()
+            b.close()
+
+
+class TestShutdownAndValidation:
+    @staticmethod
+    def _batcher(**kw):
+        tok = ByteFallbackTokenizer(vocab_size=TINY.llama.vocab_size)
+        params = vlm.init(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+        proc = PlanGenProcessor(
+            tok, image_tokens=TINY.image_seq_len,
+            gen=GenerationConfig(max_new_text_tokens=4),
+        )
+        return Batcher(PlanGenPipeline(params, TINY, proc), **kw)
+
+    def test_close_finalizes_batch_stuck_in_ready_queue(self):
+        """A batch the prep thread handed off that the device-owner never
+        took must be error-finalized at close() — otherwise its HTTP
+        waiters block on done.wait() forever."""
+        from plangen_tpu.serve import _Request
+
+        b = self._batcher(max_batch=2, wait_ms=5.0)
+        # stop the workers so the handoff slot stays occupied
+        b._stop.set()
+        b._thread.join(timeout=5)
+        b._prep_thread.join(timeout=5)
+        b._stop.clear()
+        req = _Request("plan", {"caption": "x"})
+        b._ready.put(([req], {"plan": None}))
+        b.close()
+        assert req.done.is_set()
+        assert req.error and "shutting down" in req.error
+
+    def test_caption_required_for_captioned_modes(self):
+        """generate/joint/plan without a string caption must fail THIS
+        request at submit (400), not silently generate from ''."""
+        b = self._batcher(max_batch=2, wait_ms=5.0)
+        try:
+            for mode in ("generate", "joint", "plan"):
+                with pytest.raises(ValueError, match="caption"):
+                    b.submit(mode, {"grounding": "<grounding></grounding>"})
+            with pytest.raises(ValueError, match="caption"):
+                b.submit("generate", {"caption": 7, "grounding": ""})
+        finally:
             b.close()
 
 

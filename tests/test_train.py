@@ -208,6 +208,29 @@ class TestAdafactor:
         q1 = np.asarray(state.params["language_model"]["layers"]["q_proj"])
         assert not np.array_equal(q0, q1)
 
+    def test_weight_decay_is_lr_scaled_like_adamw(self):
+        """optax.adafactor's weight_decay_rate is a raw per-step fraction
+        (applied AFTER lr scaling) — passing the recipe wd=0.01 verbatim
+        would decay weights 1%/step, 20000x AdamW's lr*wd. Pin the fix:
+        with zero gradients the per-step relative decay must be ~lr*wd,
+        nowhere near wd."""
+        import optax
+
+        lr, wd = 1e-3, 0.01
+        w = {"m": jnp.ones((256, 256), dtype=jnp.float32)}
+        tx, _ = make_optimizer(
+            OptimConfig(optimizer="adafactor", learning_rate=lr,
+                        adam_weight_decay=wd),
+            w, "all",
+        )
+        state = tx.init(w)
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, w)
+        updates, state = tx.update(zero_g, state, w)
+        w2 = optax.apply_updates(w, updates)
+        rel = float(jnp.mean(jnp.abs((w2["m"] - w["m"]) / w["m"])))
+        assert rel < 5 * lr * wd, f"per-step decay {rel} is not lr-scaled"
+        assert rel > 0.1 * lr * wd, f"decay {rel} missing entirely"
+
     def test_second_moment_is_factored_at_real_dims(self):
         # The memory claim: a [2048, 5632] MLP weight's second moment is
         # stored as row+col vectors (7680 floats), not 11.5M — AdamW's mu+nu

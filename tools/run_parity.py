@@ -161,8 +161,12 @@ def _finish(out_path: Path, stages, parity) -> int:
     ok = all(s["rc"] == 0 for s in stages)
     bad_modes = []
     if parity:
-        bad_modes = [r["mode"] for r in parity
-                     if r.get("status") not in ("match", "prob_match")]
+        # mirror golden_parity's own failure set (tools/golden_parity.py
+        # exit-code logic): 'no_golden' (mode absent from the capture) and
+        # 'logit_injection' (pre-token_probs golden) are non-failures there
+        # and must not turn the combined report red
+        fail = ("mismatch", "internal_mismatch", "prob_mismatch")
+        bad_modes = [r["mode"] for r in parity if r.get("status") in fail]
     report = {
         "ok": ok and not bad_modes,
         "stages": stages,
