@@ -422,6 +422,14 @@ def forward(
     The layer stack runs as a single `lax.scan` over the stacked layer params.
     """
     B, Q, _ = inputs_embeds.shape
+    if layers_limit is not None and not 1 <= layers_limit <= cfg.num_layers:
+        # a falsy-zero `or` fallback here once made layers_limit=0 silently
+        # run the FULL stack (a "0-layer draft" doing a second full-model
+        # pass per speculative round) — validate instead
+        raise ValueError(
+            f"layers_limit must be in [1, {cfg.num_layers}], got "
+            f"{layers_limit}"
+        )
     if positions is None:
         positions = jnp.arange(Q, dtype=jnp.int32)
     if kv_cache is not None and "segs" in kv_cache:
@@ -509,8 +517,9 @@ def forward(
             )
             return x, cache
 
+        n_layers = cfg.num_layers if layers_limit is None else layers_limit
         x, out_cache = jax.lax.fori_loop(
-            0, layers_limit or cfg.num_layers, body, (inputs_embeds, kv_cache)
+            0, n_layers, body, (inputs_embeds, kv_cache)
         )
 
     hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)

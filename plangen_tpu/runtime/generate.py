@@ -189,6 +189,15 @@ def generate_image_tokens(
 
         return step
 
+    if quantized_cache and (chunked or paged):
+        # llama._layer matches the int8-cache branch BEFORE the chunked/
+        # paged branches, so these flags would be silently ignored (the
+        # caller would measure the plain q8 program believing it measured
+        # the prefix-read strategy) — refuse, like growing_cache below
+        raise ValueError(
+            "chunked/paged decode attention is not implemented for the "
+            "int8 KV cache (quantized_cache=True) — unset chunked/paged"
+        )
     if growing_cache:
         if chunked or paged:
             raise ValueError(
@@ -242,9 +251,9 @@ def _generate_growing(
     B2, L, H = cfg_embeds.shape
     S_max = L + num_tokens
 
-    ends = growing_segment_ends(L, num_tokens, num_phases)
-    total = ends[-1]
-    assert total >= L + num_tokens
+    ends, seg_sizes, seg_starts, attn_mask = _growing_layout(
+        L, num_tokens, num_phases, attn_mask
+    )
     # per-phase decode step counts (step i writes position L + i)
     counts = []
     prev = L
@@ -252,14 +261,6 @@ def _generate_growing(
         hi = min(e, L + num_tokens)
         counts.append(max(0, hi - prev))
         prev = max(prev, hi)
-    if total > attn_mask.shape[1]:
-        attn_mask = jnp.concatenate(
-            [attn_mask,
-             jnp.zeros((B2, total - attn_mask.shape[1]), dtype=attn_mask.dtype)],
-            axis=1,
-        )
-    seg_sizes = [ends[0]] + [b - a for a, b in zip(ends, ends[1:])]
-    seg_starts = [0] + ends[:-1]
 
     cache = init_segmented_kv_cache(
         cfg.llama, B2, seg_sizes, dtype=cfg_embeds.dtype, quantized=quantized_cache
@@ -285,6 +286,25 @@ def _generate_growing(
         start += c
     tokens = jnp.concatenate(tokens_parts, axis=0)
     return ImageGenResult(tokens=tokens.T)
+
+
+def _growing_layout(L, new_tokens, num_phases, attn_mask):
+    """Shared segmented-cache geometry for the image AND text decode loops:
+    (ends, seg_sizes, seg_starts, attn_mask zero-padded to ends[-1]) — one
+    place for the segment math so the two loops cannot drift."""
+    ends = growing_segment_ends(L, new_tokens, num_phases)
+    total = ends[-1]
+    assert total >= L + new_tokens
+    if total > attn_mask.shape[1]:
+        attn_mask = jnp.concatenate(
+            [attn_mask,
+             jnp.zeros((attn_mask.shape[0], total - attn_mask.shape[1]),
+                       dtype=attn_mask.dtype)],
+            axis=1,
+        )
+    seg_sizes = [ends[0]] + [b - a for a, b in zip(ends, ends[1:])]
+    seg_starts = [0] + ends[:-1]
+    return ends, seg_sizes, seg_starts, attn_mask
 
 
 def growing_segment_ends(L: int, num_tokens: int, num_phases: int = 4):
@@ -374,16 +394,12 @@ def greedy_decode_text(
     if growing_cache:
         from plangen_tpu.runtime.kvcache import init_segmented_kv_cache
 
-        ends = growing_segment_ends(L, max_new_tokens, 4)
-        total = ends[-1]
-        if total > attn_mask.shape[1]:
-            attn_mask = jnp.concatenate(
-                [attn_mask,
-                 jnp.zeros((B, total - attn_mask.shape[1]), attn_mask.dtype)],
-                axis=1,
-            )
-        seg_sizes = [ends[0]] + [b - a for a, b in zip(ends, ends[1:])]
-        seg_starts = [0] + ends[:-1]
+        # growing_cache=True -> 4 phases; an int picks the phase count,
+        # matching generate_image_tokens
+        num_phases = 4 if growing_cache is True else int(growing_cache)
+        ends, seg_sizes, seg_starts, attn_mask = _growing_layout(
+            L, max_new_tokens, num_phases, attn_mask
+        )
         cache = init_segmented_kv_cache(
             cfg.llama, B, seg_sizes, dtype=inputs_embeds.dtype,
             quantized=quantized_cache,

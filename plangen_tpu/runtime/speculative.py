@@ -94,6 +94,14 @@ def generate_image_tokens_spec(
     tokens0 = jnp.zeros((num_tokens + d + 1,), jnp.int32)
     tokens0 = tokens0.at[0].set(tok0)
     acc_key = jax.random.fold_in(rng, 1 << 20)  # accept-draw stream
+    # residual resamples get their OWN lineage: folding the residual index
+    # into acc_key directly ((n<<1)+1, the original form) COLLIDES with a
+    # later round's accept draw at position 2n+1 — the same key bits that
+    # resampled a token would then decide acceptance, correlating
+    # consecutive tokens and breaking the exact-speculative-sampling
+    # independence argument. fold_in(res_key, n) shares no key with any
+    # fold_in(acc_key, m): different lineage, disjoint by construction.
+    res_key = jax.random.fold_in(rng, 2 << 20)  # residual-resample stream
 
     def embed_pair(tok):  # scalar token -> [2, 1, H] embeds for both CFG rows
         return vlm.gen_img_embeds(params, jnp.full((2, 1), tok)).astype(
@@ -179,7 +187,7 @@ def generate_image_tokens_spec(
                 jax.random.fold_in(rng, n + d), p_logits[d][None], temperature
             )[0],
             jax.random.categorical(
-                jax.random.fold_in(acc_key, (n << 1) + 1), jnp.log(residual + 1e-30)
+                jax.random.fold_in(res_key, n), jnp.log(residual + 1e-30)
             ).astype(jnp.int32),
         )
         extra_greedy = jnp.argmax(p_a).astype(jnp.int32)

@@ -123,6 +123,15 @@ def _artifact_quant_form(params) -> str | None:
     """'int8'/'int4'/'int4_a8' if the tree is already quantized, else None
     (pre-quantized artifacts from `cli convert --quantize`)."""
     layers = params["language_model"]["layers"]
+    if "q_k_proj" in layers:
+        # the short-lived transitional layout between the q|k pair fusion
+        # and the q|k|v triple (INT4_FUSED_GROUPS) — the layer consumes
+        # qkv_proj / k_v_proj / split leaves, never this key, so loading
+        # it would KeyError mid-trace; fail with the remedy instead
+        raise ValueError(
+            "artifact uses the transitional q|k fused int4 layout; "
+            "re-run `cli convert --quantize int4` on the dense checkpoint"
+        )
     # int4 artifacts carry the fused q|k|v leaf (ops/quant.py
     # INT4_FUSED_GROUPS; GQA artifacts keep q_proj split) — older
     # split-form artifacts still load and run

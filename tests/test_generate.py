@@ -324,3 +324,60 @@ class TestPerRowSamplingKeys:
         a = self._gen(jnp.stack([k1, k2]))
         b = self._gen(jnp.stack([k1, k3]))
         np.testing.assert_array_equal(a[0], b[0])
+
+
+class TestFlagValidation:
+    """Flag combinations the decode paths cannot honor must REFUSE, not
+    silently run a different program (review round 4)."""
+
+    def setup_method(self):
+        self.params = vlm.init(KEY, TINY, dtype=F32)
+        B, L = 1, 4
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2 * B, L), 0, 100)
+        self.embeds = vlm.embed_text(self.params, ids).astype(F32)
+        self.mask = jnp.ones((2 * B, L + N_IMG), dtype=jnp.int32)
+
+    def _gen(self, **kw):
+        import pytest
+
+        with pytest.raises(ValueError, match=kw.pop("match")):
+            generate_image_tokens(
+                self.params, TINY, self.embeds, self.mask, rng=KEY,
+                cfg_weight=jnp.float32(5.0), temperature=jnp.float32(1.0),
+                num_tokens=N_IMG, **kw,
+            )
+
+    def test_chunked_with_int8_cache_rejected(self):
+        # llama._layer's int8-cache branch precedes the chunked/paged
+        # branches — the flags would be silently ignored otherwise
+        self._gen(quantized_cache=True, chunked=True,
+                  match="int8 KV cache")
+
+    def test_paged_with_int8_cache_rejected(self):
+        self._gen(quantized_cache=True, paged=True, match="int8 KV cache")
+
+    def test_layers_limit_zero_rejected(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="layers_limit"):
+            llama.forward(
+                self.params["language_model"], TINY.llama,
+                self.embeds, self.mask[:, :4],
+                positions=jnp.arange(4),
+                kv_cache=None,
+                layers_limit=0,
+            )
+
+
+def test_transitional_q_k_proj_artifact_rejected():
+    """Artifacts from the short-lived q|k fused layout must fail with a
+    remedy, not KeyError mid-trace (tasks/eval.py _artifact_quant_form)."""
+    import pytest
+
+    from plangen_tpu.tasks.eval import _artifact_quant_form
+
+    params = {"language_model": {"layers": {
+        "q_k_proj": {"w_p4": 0, "s_lo": 0, "s_hi16": 0}, "v_proj": 0,
+    }}}
+    with pytest.raises(ValueError, match="transitional"):
+        _artifact_quant_form(params)
