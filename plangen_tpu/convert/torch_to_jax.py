@@ -83,7 +83,13 @@ def _cast_tree(tree, dtype):
     if isinstance(tree, list):
         return [_cast_tree(v, dtype) for v in tree]
     arr = np.asarray(tree)
-    if np.issubdtype(arr.dtype, np.floating):
+    # np.issubdtype(ml_dtypes.bfloat16, np.floating) is FALSE — the Janus
+    # safetensors shards load as ml_dtypes bf16 arrays (framework="np"),
+    # and the plain-numpy check silently skipped casting them, so an fp32
+    # parity load stayed bf16. jnp's lattice counts bf16 as floating.
+    import jax.numpy as jnp
+
+    if jnp.issubdtype(arr.dtype, jnp.floating):
         return arr.astype(dtype)
     return arr
 
@@ -223,10 +229,13 @@ def _convert_vq(sd, cfg: PlanGenModelConfig, p: str) -> Dict[str, Any]:
     vq = cfg.vq
     n_levels = len(vq.ch_mult)
 
-    def levels(prefix, n_res, reverse: bool):
+    def levels(prefix, n_res):
+        # conv_blocks.{li} indices in the reference state dict are ALREADY
+        # in consumption order for both encoder and decoder (the decoder's
+        # own Module list is built reversed — vq_model.py Decoder) and the
+        # full-decoder torch parity test pins this; no reordering here
         out = []
-        level_ids = range(n_levels)
-        for li, _ in enumerate(level_ids):
+        for li in range(n_levels):
             lp = f"{prefix}conv_blocks.{li}."
             level: Dict[str, Any] = {"res": [], "attn": []}
             for r in range(n_res):
@@ -249,14 +258,14 @@ def _convert_vq(sd, cfg: PlanGenModelConfig, p: str) -> Dict[str, Any]:
 
     encoder = {
         "conv_in": _conv(sd, p + "encoder.conv_in"),
-        "levels": levels(p + "encoder.", vq.num_res_blocks, reverse=False),
+        "levels": levels(p + "encoder.", vq.num_res_blocks),
         "mid": mid(p + "encoder."),
         "norm_out": _gn(sd, p + "encoder.norm_out"),
         "conv_out": _conv(sd, p + "encoder.conv_out"),
     }
     decoder = {
         "conv_in": _conv(sd, p + "decoder.conv_in"),
-        "levels": levels(p + "decoder.", vq.num_res_blocks + 1, reverse=True),
+        "levels": levels(p + "decoder.", vq.num_res_blocks + 1),
         "mid": mid(p + "decoder."),
         "norm_out": _gn(sd, p + "decoder.norm_out"),
         "conv_out": _conv(sd, p + "decoder.conv_out"),

@@ -75,11 +75,19 @@ def chunked_decode_attention(
     assert Q == 1
     S = k_cache.shape[1]
     Hkv = k_cache.shape[2]
+    # dynamic_slice CLAMPS an out-of-range start to S - chunk: with
+    # S % chunk != 0 the last chunk would re-read rows already attended,
+    # labelled with fresh positions — silently double-counted attention
+    if S % chunk != 0:
+        raise ValueError(
+            f"chunked_decode_attention needs S_max ({S}) % chunk ({chunk})"
+            " == 0 (dynamic_slice clamping would double-read the tail)"
+        )
     if scale is None:
         scale = D ** -0.5
     rep = H // Hkv
 
-    qf = q[:, 0].astype(jnp.float32) * scale  # [B, H, D] pre-scaled
+    q_bh = q[:, 0]  # [B, H, D]; scale applied to the fp32 logits below
 
     def body(ci, carry):
         m, l, acc = carry  # [B, H, 1], [B, H, 1], [B, H, D]
@@ -90,8 +98,12 @@ def chunked_decode_attention(
         if rep != 1:
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
-        s = jnp.einsum(
-            "bhd,bshd->bhs", qf.astype(q.dtype), k, preferred_element_type=jnp.float32
+        # scale folds into the fp32 LOGITS (the main path's order): an
+        # earlier draft pre-scaled q then rounded it back to bf16, putting
+        # the dot's inputs off the base path's by bf16 epsilon — which
+        # breaks the "numerically identical" contract near argmax ties
+        s = scale * jnp.einsum(
+            "bhd,bshd->bhs", q_bh, k, preferred_element_type=jnp.float32
         )  # [B, H, c]
         pos = start + jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
         ok = (msk[:, None, :] > 0) & (pos <= q_position)

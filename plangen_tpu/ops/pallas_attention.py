@@ -123,6 +123,13 @@ def _flash_fwd(
     interpret: bool = False,
 ) -> jax.Array:
     B, H, S, D = q.shape
+    if S % block_q or S % block_k:
+        # a truncated grid would leave trailing q rows UNWRITTEN (garbage
+        # output) and drop trailing keys — refuse instead of corrupting
+        raise ValueError(
+            f"flash attention needs S ({S}) divisible by block_q "
+            f"({block_q}) and block_k ({block_k}) — pad the sequence"
+        )
     num_q = S // block_q
     num_kv = S // block_k
     grid = (B, H, num_q, num_kv)

@@ -141,6 +141,10 @@ def prefix_decode_attention(
     assert Q == 1
     L, _, S, Hkv, _ = k_cache.shape
     assert Hkv == H, "prefix kernel assumes MHA (no GQA)"
+    if S % 128:
+        # the in-kernel chunk DMA k_hbm.at[..., pl.ds(start, 128)] does NOT
+        # clamp — a ragged tail would read past the sequence bound
+        raise ValueError(f"prefix decode kernel needs S ({S}) % 128 == 0")
     if scale is None:
         scale = D ** -0.5
 

@@ -133,6 +133,9 @@ def prefix_decode_attention_v3(
     assert Q == 1 and B % ROW_BLOCK == 0
     L, _, S, Hkv, _ = k_cache.shape
     assert Hkv == H
+    if S % 128:
+        # unclamped in-kernel chunk DMAs: a ragged tail reads out of bounds
+        raise ValueError(f"v3 decode kernel needs S ({S}) % 128 == 0")
     if scale is None:
         scale = D ** -0.5
     sp = jnp.stack([layer_idx.astype(jnp.int32), q_position.astype(jnp.int32)])

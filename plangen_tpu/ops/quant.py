@@ -56,7 +56,13 @@ def qmatmul(x: jax.Array, w: Union[jax.Array, QuantWeight]) -> jax.Array:
     if not is_quantized(w):
         return x @ w
     out = x @ w["w_q8"].astype(x.dtype)
-    return out * w["scale"].astype(x.dtype)[..., 0, :]
+    # fold the per-channel scale in fp32 (the documented invariant —
+    # convert/loading.py keeps scales fp32 through checkpoint loads for
+    # exactly this): an earlier .astype(x.dtype) rounded every scale to
+    # bf16's 8 mantissa bits, a systematic per-channel multiplicative bias
+    # on every int8 projection output. XLA fuses the upcast-multiply-
+    # downcast chain into the matmul epilogue.
+    return (out.astype(jnp.float32) * w["scale"][..., 0, :]).astype(x.dtype)
 
 
 _LM_QUANT_KEYS = (

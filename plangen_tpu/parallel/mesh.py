@@ -68,16 +68,9 @@ _TP_RULES: Tuple[Tuple[str, P], ...] = (
 )
 
 
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        if isinstance(p, jax.tree_util.DictKey):
-            parts.append(str(p.key))
-        elif isinstance(p, jax.tree_util.SequenceKey):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return "/".join(parts)
+from plangen_tpu.utils.pytree import path_str as _path_str  # shared with
+# train/optim.py: freeze predicates and sharding rules match the same
+# "a/b/c" strings
 
 
 def param_shardings(

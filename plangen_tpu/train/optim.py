@@ -49,16 +49,8 @@ TUNING_MODES: Dict[str, Callable[[str], bool]] = {
 }
 
 
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        if isinstance(p, jax.tree_util.DictKey):
-            parts.append(str(p.key))
-        elif isinstance(p, jax.tree_util.SequenceKey):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return "/".join(parts)
+from plangen_tpu.utils.pytree import path_str as _path_str  # shared with
+# parallel/mesh.py: both rule sets match the same "a/b/c" strings
 
 
 def trainable_mask(params: Any, tuning_mode: str) -> Any:

@@ -96,7 +96,10 @@ class Trainer:
         print(
             f"params: total={counts['total']/1e6:.1f}M "
             f"trainable={counts['trainable']/1e6:.1f}M "
-            f"(tuning_mode={tcfg.tuning_mode})"
+            # the EFFECTIVE mode: 'lora' promotes to 'lora_tokens' above
+            # when special tokens are tuned — the count reflects it, so
+            # the printed mode must too
+            f"(tuning_mode={tuning_mode})"
         )
         self._dump_trainable_names()
 
@@ -242,14 +245,19 @@ class Trainer:
         loader = infinite(self.build_dataloader())
         last_metrics: Dict[str, float] = {}
         t_step = time.perf_counter()
+        last_logged = start - 1  # sec_per_step divides by ACTUAL steps
+        # elapsed since the previous log (a fixed /10 under-reported the
+        # first window after start/resume, which doesn't land on a
+        # multiple of 10 — metrics.jsonl feeds the perf ledger)
         for step in range(start, max_steps):
             flow_samples = next(loader)
             batches = self._device_batches(flow_samples)
             self.state, metrics = self.step_fn(self.state, batches)
             if (step + 1) % 10 == 0 or step == start:
                 metrics = {k: float(v) for k, v in metrics.items()}
-                dt = (time.perf_counter() - t_step) / (10 if step > start else 1)
+                dt = (time.perf_counter() - t_step) / max(1, step - last_logged)
                 t_step = time.perf_counter()
+                last_logged = step
                 metrics["sec_per_step"] = dt
                 if self.is_lead:
                     self.logger.log(step + 1, metrics)
