@@ -109,11 +109,4 @@ int plangen_resize_bilinear_batch(const uint8_t* src, int n, int sh, int sw,
   return 0;
 }
 
-// uint8 HWC -> float32 [-1, 1] (no resize), multithreaded over rows.
-int plangen_normalize(const uint8_t* src, int n, float* dst) {
-  if (!src || !dst || n <= 0) return 1;
-  for (int i = 0; i < n; ++i) dst[i] = (float)src[i] * (2.0f / 255.0f) - 1.0f;
-  return 0;
-}
-
 }  // extern "C"

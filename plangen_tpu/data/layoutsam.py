@@ -31,7 +31,10 @@ def _normalize_xyxy(boxes, w, h):
     b = np.asarray(boxes, dtype=np.float32).reshape(-1, 4)
     b[:, 0::2] = np.round(b[:, 0::2] / w, 3)
     b[:, 1::2] = np.round(b[:, 1::2] / h, 3)
-    return b
+    # clip like grit.py/layoutgpt.py: an annotation past the image edge
+    # would serialize to an out-of-vocab <h100+>/<w100+> token in numhw
+    # mode (byte-fallback-encoded into many ids — silent label divergence)
+    return b.clip(0.0, 1.0)
 
 
 def _parse_list(v):

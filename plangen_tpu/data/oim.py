@@ -49,9 +49,19 @@ class OpenImagesDataset:
         if not os.path.exists(ann_path):
             raise FileNotFoundError(f"OpenImages annotations not found at {ann_path}")
         self.df = pd.read_csv(ann_path)
-        names = pd.read_csv(class_csv)
-        self.class_map = names.set_index(names.columns[0])[names.columns[1]].to_dict()
+        # the official class-descriptions-boxable.csv has NO header row
+        # ("/m/011k07,Tortoise" is row 1) — pandas' default header=0 would
+        # eat the first class mapping, silently dropping every image that
+        # contains it via the unknown-label skip below. The REFERENCE has
+        # exactly that defect (data_oim.py:63 default read_csv); it's
+        # silent data loss, so we deliberately do not replicate it
+        names = pd.read_csv(class_csv, header=None, names=["id", "name"])
+        self.class_map = names.set_index("id")["name"].to_dict()
         self.image_ids = self.df["ImageID"].unique()
+        # per-image row indices once: a boolean mask over the full
+        # annotations frame (~14M rows for oidv6 train) per __getitem__
+        # would gate training throughput on a pandas scan
+        self._rows_by_image = self.df.groupby("ImageID").indices
         self.data_root = data_root
         self.split = split
         self.caption_dir = caption_dir
@@ -64,15 +74,27 @@ class OpenImagesDataset:
     def __getitem__(self, i: int) -> Sample:
         from PIL import Image
 
-        image_id = self.image_ids[i]
-        rows = self.df[self.df["ImageID"] == image_id]
+        # bounded ITERATIVE skip of unknown-label samples (the reference
+        # skips bad samples too, data_oim.py:93-96) — a recursive
+        # self[(i+1) % len] dies with RecursionError when many consecutive
+        # samples have labels missing from class_csv (e.g. a mismatched
+        # OpenImages version), and an exhausted scan must say WHY
+        for attempt in range(len(self.image_ids)):
+            image_id = self.image_ids[(i + attempt) % len(self.image_ids)]
+            rows = self.df.iloc[self._rows_by_image[image_id]]
+            try:
+                classes = [self.class_map[t].lower() for t in rows["LabelName"]]
+            except KeyError:
+                continue  # unknown label: try the next image
+            break
+        else:
+            raise ValueError(
+                "every OpenImages sample has labels missing from "
+                "class-descriptions-boxable.csv — wrong class_csv version?"
+            )
         boxes = np.stack(
             [rows["XMin"], rows["YMin"], rows["XMax"], rows["YMax"]], axis=-1
         ).astype(np.float32)
-        try:
-            classes = [self.class_map[t].lower() for t in rows["LabelName"]]
-        except KeyError:
-            return self[(i + 1) % len(self)]  # skip unknown labels
 
         areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
         order = np.argsort(-areas)

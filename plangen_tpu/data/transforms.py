@@ -21,15 +21,21 @@ def resize_short_side_center_crop(
     boxes_xywh: np.ndarray,  # [N, 4] pixel coords (x1, y1, w, h)
     target: int = 384,
     crop: bool = True,
+    backend: str = "auto",  # auto (native when built) | native | pil
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Bilinear short-side resize to `target`, center crop, adjust boxes.
 
     With `crop=False` only the short-side resize is applied (the reference
     crops separately when use_MinIoURandomCrop is on, debug_grit.py:445-456);
     boxes stay in pixel coords of the resized image.
-    """
-    from PIL import Image
 
+    `backend="auto"` uses the native C++ resize (native/plangen_data.cc,
+    half-pixel-center bilinear — the cv2/torch convention the REFERENCE's
+    dataset-side resize uses, funcs.py:523-528) when the library is built,
+    falling back to PIL. The eval-side Janus preprocessor
+    (data/preprocess.py janus_image_preprocess) stays bicubic PIL for
+    processor parity — this function is the TRAIN loaders' resize.
+    """
     h, w = image.shape[:2]
     if w < h:
         scale = target / w
@@ -37,14 +43,27 @@ def resize_short_side_center_crop(
     else:
         scale = target / h
         new_h, new_w = target, int(w * scale)
-    pil = Image.fromarray(
-        image.astype(np.uint8) if image.dtype != np.uint8 else image
-    ).resize((new_w, new_h), Image.BILINEAR)
     left = (new_w - target) // 2 if crop else 0
     top = (new_h - target) // 2 if crop else 0
-    if crop:
-        pil = pil.crop((left, top, left + target, top + target))
-    out = np.asarray(pil)
+
+    src = image.astype(np.uint8) if image.dtype != np.uint8 else image
+    if backend == "auto":
+        from plangen_tpu.data.native import native_available
+
+        backend = "native" if native_available() else "pil"
+    if backend == "native":
+        from plangen_tpu.data.native import resize_bilinear_native
+
+        full = resize_bilinear_native(src, (new_h, new_w), normalize=False)
+        full = np.clip(np.round(full), 0, 255).astype(np.uint8)
+        out = full[top:top + target, left:left + target] if crop else full
+    else:
+        from PIL import Image
+
+        pil = Image.fromarray(src).resize((new_w, new_h), Image.BILINEAR)
+        if crop:
+            pil = pil.crop((left, top, left + target, top + target))
+        out = np.asarray(pil)
 
     boxes = np.asarray(boxes_xywh, dtype=np.float32).reshape(-1, 4).copy()
     boxes[:, 0] = boxes[:, 0] * scale - left

@@ -36,8 +36,11 @@ def make_oim_fixture(root):
     (root / "anno" / "oidv6-train-annotations-bbox.csv").write_text(
         "\n".join(rows) + "\n"
     )
-    # headerless, first data row sacrificed to pandas' default header
-    # (reference read_csv, data_oim.py:63 — bug-for-bug parity)
+    # headerless, like the official file. The reference reads it with
+    # pandas' DEFAULT header (data_oim.py:63), silently losing the first
+    # class ("Tortoise") and thereby dropping every image that contains it
+    # — a silent-data-loss defect we deliberately do NOT replicate
+    # (oim.py reads header=None; see SURVEY §7 "defects not to replicate")
     (root / "class-descriptions-boxable.csv").write_text(
         "/m/011k07,Tortoise\n/m/01g317,Person\n/m/0bt9lr,Dog\n"
     )
@@ -83,3 +86,16 @@ class TestOIMRealFormat:
         s = ds[1]  # img0002 has no caption jsonl
         assert s.base_caption == ""
         assert s.prompt.startswith("<grounding>")
+
+
+def test_first_class_row_not_eaten_by_header(tmp_path):
+    """The official CSV is headerless; the reference's default read_csv
+    loses row 1 and silently drops every image containing that class. We
+    keep it (header=None) — deliberate divergence from a silent-data-loss
+    reference defect."""
+    root = make_oim_fixture(tmp_path)
+    ds = OpenImagesDataset(
+        str(root), str(root / "class-descriptions-boxable.csv"),
+        split="train", image_hw=64,
+    )
+    assert ds.class_map["/m/011k07"] == "Tortoise"
