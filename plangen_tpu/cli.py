@@ -46,6 +46,13 @@ def load_config(cfg_path: Optional[str], opts: list) -> PlanGenConfig:
     )
     if flows != cfg.train.train_data:
         cfg = apply_overrides(cfg, {"train.train_data": flows})
+    # ... and test_data (a SINGLE flow): a raw dict here would pass
+    # validation and crash hours later at the first validation step
+    # (trainer reads test_data.task_type)
+    if isinstance(cfg.train.test_data, dict):
+        cfg = apply_overrides(
+            cfg, {"train.test_data": FlowConfig(**cfg.train.test_data)}
+        )
     return cfg
 
 

@@ -242,7 +242,10 @@ class GenerationConfig:
     temperature: float = 1.0
     parallel_size: int = 1          # sampling width, cfg/base.py:158
     max_new_text_tokens: int = 512  # layout/MMU budget, plangen_base.py:520
-    image_tokens: int = 576
+    # (the image-token count is NOT a generation knob: it is
+    # model.image_seq_len, derived from the vision/VQ geometry — a dead
+    # `image_tokens` field here once let `--opt generation.image_tokens=`
+    # validate and silently no-op)
     seed: int = 0
     use_teacher_forcing: bool = False
     use_neg_box: bool = False

@@ -62,10 +62,10 @@ import numpy as np
 def _png_b64(image: np.ndarray) -> str:
     from PIL import Image
 
-    if image.dtype != np.uint8:
-        image = np.clip((image + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    from plangen_tpu.utils.visualize import to_uint8
+
     buf = io.BytesIO()
-    Image.fromarray(image).save(buf, format="PNG")
+    Image.fromarray(to_uint8(image)).save(buf, format="PNG")
     return base64.b64encode(buf.getvalue()).decode()
 
 
@@ -86,6 +86,11 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
+    # decoded input image (understand/edit), produced at submit() on the
+    # HTTP handler thread: a bad image_b64 fails only ITS request (400),
+    # and the per-request decode parallelizes across handler threads
+    # instead of serializing on the prep thread
+    pixels: Optional[np.ndarray] = None
 
 
 class Batcher:
@@ -210,12 +215,25 @@ class Batcher:
         return self._asm_pool
 
     def submit(self, mode: str, payload: Dict[str, Any]) -> _Request:
+        if not isinstance(payload, dict):
+            raise ValueError("request body must be a JSON object")
         req = _Request(mode, payload)
-        # validate per-request knobs HERE (raises to the caller as a 400):
-        # a bad value must fail only this request, never the batcher loop
-        # or an unrelated request sharing its microbatch
+        # validate EVERYTHING request-specific HERE (raises to the caller
+        # as a 400): a bad value must fail only this request, never the
+        # batcher loop or an unrelated request sharing its microbatch
         self._req_seed(req)
-        self._req_ps(req)
+        ps = self._req_ps(req)
+        if ps > 1 and mode not in ("generate", "joint"):
+            raise ValueError(
+                f"parallel_size applies to generate/joint, not {mode}"
+            )
+        if ps > self.max_batch:
+            # one request would exceed the compiled row budget — an
+            # unwarmed multi-minute remote compile (or OOM) mid-flight
+            raise ValueError(
+                f"parallel_size {ps} exceeds this server's max_batch "
+                f"{self.max_batch} image rows"
+            )
         if mode in ("generate", "joint", "plan") and not isinstance(
             payload.get("caption"), str
         ):
@@ -224,6 +242,20 @@ class Batcher:
             # shared _prepare uses .get(), so a missing key would otherwise
             # silently generate from "" instead of failing THIS request
             raise ValueError(f"{mode} request requires a string 'caption'")
+        if mode in ("generate", "edit") and not isinstance(
+            payload.get("grounding"), str
+        ):
+            raise ValueError(f"{mode} request requires a string 'grounding'")
+        if mode in ("understand", "edit"):
+            # decode NOW, on the handler thread: a corrupt image_b64 fails
+            # only this request, and batch-wide PNG decode parallelizes
+            # across handler threads instead of serializing in _prepare
+            try:
+                req.pixels = _png_decode(
+                    payload["image_b64"], self.pipe.cfg.vision.image_size
+                )
+            except Exception as e:
+                raise ValueError(f"invalid image_b64: {type(e).__name__}")
         if mode == "edit":
             # validate AND cache: the rasterized region replaces any
             # "edit_boxes" so _run doesn't re-run build_edit_region on the
@@ -240,17 +272,29 @@ class Batcher:
         # _loop submit has an inline fallback for that case too)
         self._thread.join(timeout=60)
         self._prep_thread.join(timeout=10)
-        # a batch the prep thread handed off that the device-owner never
-        # took (it saw _stop first) would leave its HTTP waiters blocked on
-        # done.wait() forever — drain and error-finalize any leftover
+        # anything still in flight at shutdown would leave its HTTP waiters
+        # blocked on done.wait() forever — error-finalize every request the
+        # workers never took: the prepared-batch handoff slot, the raw
+        # queue, and a batch head parked in _held
+        leftovers: List[_Request] = []
         while True:
             try:
                 batch, _prepared = self._ready.get_nowait()
             except queue.Empty:
                 break
-            for r in batch:
+            leftovers.extend(batch)
+        if self._held is not None:
+            leftovers.append(self._held)
+            self._held = None
+        while True:
+            try:
+                leftovers.append(self.q.get_nowait())
+            except queue.Empty:
+                break
+        if leftovers:
+            for r in leftovers:
                 r.error = "RuntimeError: server shutting down"
-            self._finalize(batch)
+            self._finalize(leftovers)
         self._asm_pool.shutdown(wait=True)  # let in-flight results land
         self._png_pool.shutdown(wait=False)
 
@@ -485,17 +529,17 @@ class Batcher:
                    if mode in ("generate", "joint") else 1)
         bucket = self._bucket(n, ps=ps_rows)
         with self._stats_lock:
-            self.stats["padded_rows"] += bucket - n
+            # DEVICE rows (the padding-cost meter min_batch's docstring
+            # sells): each padded request slot costs ps image rows
+            self.stats["padded_rows"] += (bucket - n) * ps_rows
 
         if mode == "plan":
             caps = self._pad([r.payload["caption"] for r in batch], bucket)
             return {"plan": self.pipe.prepare_plan(caps)}
 
         if mode == "understand":
-            hw = self.pipe.cfg.vision.image_size
-            imgs = self._pad(
-                [_png_decode(r.payload["image_b64"], hw) for r in batch], bucket
-            )
+            # pixels decoded at submit() on the handler threads
+            imgs = self._pad([r.pixels for r in batch], bucket)
             # one question per batch (the batch key includes it); None keeps
             # the reference's default MMU prompt
             return {"mmu": self.pipe.prepare_understand(
@@ -524,14 +568,10 @@ class Batcher:
                     "ps": ps, "bucket": bucket}
 
         if mode == "edit":
-            hw = self.pipe.cfg.vision.image_size
             groundings = self._pad(
                 [r.payload["grounding"] for r in batch], bucket
             )
-            imgs = self._pad(
-                [_png_decode(r.payload["image_b64"], hw) for r in batch],
-                bucket,
-            )
+            imgs = self._pad([r.pixels for r in batch], bucket)
             regions = self._pad(
                 [self._edit_region(r.payload) for r in batch], bucket
             )
@@ -546,6 +586,11 @@ class Batcher:
                 gt_images=np.stack(imgs),
                 edit_region=np.stack(regions),
                 seeds=seeds,
+                # explicit: edit serves ONE edited image per request —
+                # inheriting cfg.generation.parallel_size here would
+                # silently widen the batch ps-fold past the row budget
+                # the bucket math enforces
+                parallel_size=1,
                 teacher_forcing=True,
             )
             return {"gen": prep, "seeds": seeds}

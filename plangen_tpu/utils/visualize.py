@@ -26,6 +26,17 @@ _COLORS = [
 ]
 
 
+def to_uint8(image):
+    """Float [-1, 1] -> uint8 pixels (identity on uint8 input) — the ONE
+    pixel-contract conversion shared by eval artifacts, grids, and serving
+    PNGs (serve.py imports it), so the contract cannot silently fork."""
+    import numpy as np
+
+    if image.dtype != np.uint8:
+        image = np.clip((image + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    return image
+
+
 def draw_layout(
     image: np.ndarray,  # [H, W, 3] uint8 or float [-1, 1]
     boxes: Sequence[Sequence[float]],  # normalized xyxy
@@ -34,8 +45,7 @@ def draw_layout(
     """Return a copy with box overlays + labels (uint8)."""
     from PIL import Image, ImageDraw
 
-    if image.dtype != np.uint8:
-        image = np.clip((image + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    image = to_uint8(image)
     pil = Image.fromarray(image)
     draw = ImageDraw.Draw(pil)
     h, w = image.shape[:2]
@@ -59,8 +69,7 @@ def draw_layout(
 def save_image(image: np.ndarray, path: str) -> None:
     from PIL import Image
 
-    if image.dtype != np.uint8:
-        image = np.clip((image + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    image = to_uint8(image)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     Image.fromarray(image).save(path)
 
@@ -71,12 +80,7 @@ def save_image_grid(
     """Tile images row-major and save (reference save_img, funcs.py:150-160)."""
     from PIL import Image
 
-    imgs = [
-        np.clip((im + 1.0) * 127.5, 0, 255).astype(np.uint8)
-        if im.dtype != np.uint8
-        else im
-        for im in images
-    ]
+    imgs = [to_uint8(im) for im in images]
     n = len(imgs)
     cols = cols or n
     rows = -(-n // cols)

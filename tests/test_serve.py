@@ -135,11 +135,16 @@ class TestServe:
         except urllib.error.HTTPError as e:
             assert e.code == 400
 
-    def test_missing_field_surfaces_as_error(self, server):
+    def test_missing_field_rejected_at_submit(self, server):
+        """A malformed request fails as a 400 at submit — it must never
+        reach a batch where its error would 500 every co-batched request."""
         base, _ = server
         code, out = post(base, "/generate", {"caption": "no grounding"})
-        assert code == 500
-        assert "error" in out
+        assert code == 400
+        assert "grounding" in out["error"]
+        code, out = post(base, "/understand", {"image_b64": "!!notb64!!"})
+        assert code == 400
+        assert "image_b64" in out["error"]
 
     def test_per_request_seeds_reproduce_across_batching(self, server):
         """Per-request seeds ride as per-row sampling keys, so the same
@@ -512,6 +517,41 @@ class TestShutdownAndValidation:
         b.close()
         assert req.done.is_set()
         assert req.error and "shutting down" in req.error
+
+    def test_parallel_size_bounded_by_max_batch_and_mode(self):
+        b = self._batcher(max_batch=4, wait_ms=5.0)
+        try:
+            with pytest.raises(ValueError, match="max_batch"):
+                b.submit("generate", {"caption": "x", "grounding": "",
+                                      "parallel_size": 8})
+            with pytest.raises(ValueError, match="generate/joint"):
+                b.submit("plan", {"caption": "x", "parallel_size": 2})
+        finally:
+            b.close()
+
+    def test_non_dict_body_rejected(self):
+        b = self._batcher(max_batch=2, wait_ms=5.0)
+        try:
+            with pytest.raises(ValueError, match="JSON object"):
+                b.submit("plan", [1, 2, 3])
+        finally:
+            b.close()
+
+    def test_close_finalizes_queued_and_held_requests(self):
+        from plangen_tpu.serve import _Request
+
+        b = self._batcher(max_batch=2, wait_ms=5.0)
+        b._stop.set()
+        b._thread.join(timeout=5)
+        b._prep_thread.join(timeout=5)
+        b._stop.clear()
+        queued = _Request("plan", {"caption": "q"})
+        held = _Request("plan", {"caption": "h"})
+        b.q.put(queued)
+        b._held = held
+        b.close()
+        for r in (queued, held):
+            assert r.done.is_set() and "shutting down" in r.error
 
     def test_caption_required_for_captioned_modes(self):
         """generate/joint/plan without a string caption must fail THIS
