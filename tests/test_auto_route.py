@@ -121,9 +121,8 @@ class TestConfigSurface:
 
     def test_int8_kv_engages_quantized_cache(self, cfg, params):
         tok = ByteFallbackTokenizer(vocab_size=cfg.llama.vocab_size)
-        gen = GenerationConfig(quantize="int8_kv", max_new_text_tokens=4,
-                               image_tokens=cfg.image_seq_len)
-        proc = PlanGenProcessor(tok, image_tokens=cfg.image_seq_len, gen=gen)
+        gen = GenerationConfig(quantize="int8_kv", max_new_text_tokens=4)
+        proc = PlanGenProcessor(tok, gen=gen)
         pipe = PlanGenPipeline(params, cfg, proc)
         assert pipe._quantized_cache
         assert pipe._params_for(1) is params  # no dual tree: single form
@@ -149,9 +148,8 @@ class TestRouting:
     @pytest.fixture(scope="class")
     def pipe(self, cfg, params):
         tok = ByteFallbackTokenizer(vocab_size=cfg.llama.vocab_size)
-        gen = GenerationConfig(quantize="auto", max_new_text_tokens=4,
-                               image_tokens=cfg.image_seq_len)
-        proc = PlanGenProcessor(tok, image_tokens=cfg.image_seq_len, gen=gen)
+        gen = GenerationConfig(quantize="auto", max_new_text_tokens=4)
+        proc = PlanGenProcessor(tok, gen=gen)
         return PlanGenPipeline(
             params, cfg, proc,
             params_int4=quantize_lm_params_int4_shared(params),

@@ -21,7 +21,7 @@ def pipeline():
     proc = PlanGenProcessor(
         tok,
         image_tokens=TINY.image_seq_len,
-        gen=GenerationConfig(max_new_text_tokens=8, image_tokens=TINY.image_seq_len),
+        gen=GenerationConfig(max_new_text_tokens=8),
     )
     params = vlm.init(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
     return PlanGenPipeline(params, TINY, proc, compute_dtype=jnp.float32)

@@ -88,3 +88,21 @@ def test_finish_status_set_mirrors_golden_parity(tmp_path):
     assert rp._finish(out, stages, parity) == 1
     rep = json.loads(out.read_text())
     assert rep["ok"] is False and rep["mismatched_modes"] == ["mmu"]
+
+
+def test_finish_all_no_golden_is_not_a_pass(tmp_path):
+    """--skip-capture against an empty goldens dir compares NOTHING —
+    the combined report must be red, not a weights-day green."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_parity2", REPO / "tools" / "run_parity.py"
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+    out = tmp_path / "c.json"
+    stages = [{"stage": "golden_parity", "rc": 0, "log": "x"}]
+    parity = [{"mode": m, "status": "no_golden"} for m in ("plan", "uni")]
+    assert rp._finish(out, stages, parity) == 1
+    rep = json.loads(out.read_text())
+    assert rep["ok"] is False and rep["compared_modes"] == 0

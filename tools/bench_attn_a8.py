@@ -8,8 +8,11 @@ Measures per-step single-layer decode attention at serving shapes
   * q8a8   — s8 x s8 MXU variant (a8=True): quantized query/probability rows
   * floor  — xor-reduce of the same int8 bytes (pure-read floor)
 
-Each variant runs as ONE jitted fori_loop of STEPS iterations with the output
-chained into the next query, so per-step time excludes dispatch. Timing via
+Each variant runs as a jitted fori_loop with the output chained into the
+next query; per-step time is DIFFERENTIAL — median t(5*steps) minus median
+t(steps) over the step delta — so the ~40 ms axon dispatch constant cancels
+(bench_mxu_stream discipline; an earlier draft divided a single call by
+steps and carried ~0.6 ms/step of dispatch inside the numbers). Timing via
 np.asarray (block_until_ready returns early under the axon plugin).
 
 Usage: python tools/bench_attn_a8.py [--steps 64] [--b2 64] [--s 640]
@@ -65,7 +68,7 @@ def main():
     # layout exactly as in the real decode loop, where the cache lives in
     # the fori_loop carry. One-time generation amortizes over `steps`.
 
-    def make_run(mode):
+    def make_run(mode, steps):
         def run(key):
             kk, kv, kq = jax.random.split(key, 3)
             k = jax.random.normal(kk, (B2, S, H, D), dtype=jnp.bfloat16)
@@ -113,19 +116,27 @@ def main():
     key = jax.random.PRNGKey(0)
     kv_bytes_int8 = 2 * B2 * S * H * D  # K+V int8
     results = {}
+    # DIFFERENTIAL timing (bench_mxu_stream discipline; CLAUDE.md): the
+    # per-call axon dispatch constant (~40 ms) would otherwise sit inside
+    # a 25-30 ms program and inflate per-step numbers ~2x. Medians first,
+    # then the difference.
+    n1, n2 = steps, steps * 5
     for name in ("bf16", "q8", "q8a8", "floor_int8_read"):
-        fn = make_run(name)
+        f1, f2 = make_run(name, n1), make_run(name, n2)
         t0 = time.time()
-        np.asarray(fn(key))
+        np.asarray(f1(key))
         compile_s = time.time() - t0
-        # timed runs (program cached now)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            np.asarray(fn(key))
-            best = min(best, time.time() - t0)
-        per_step_us = best / steps * 1e6
-        bw = kv_bytes_int8 / (best / steps) / 1e9
+        np.asarray(f2(key))
+        ts = {n1: [], n2: []}
+        for _ in range(5):
+            for n, f in ((n1, f1), (n2, f2)):
+                t0 = time.time()
+                np.asarray(f(key))
+                ts[n].append(time.time() - t0)
+        med = {n: sorted(v)[len(v) // 2] for n, v in ts.items()}
+        per_step = (med[n2] - med[n1]) / (n2 - n1)
+        per_step_us = per_step * 1e6
+        bw = kv_bytes_int8 / per_step / 1e9
         results[name] = {
             "per_step_us": round(per_step_us, 2),
             "eff_GBps_vs_int8_bytes": round(bw, 1),

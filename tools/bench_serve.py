@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import base64
+import functools
 import io
 import json
 import random
@@ -54,13 +55,21 @@ def _payload(mode: str, hw: int, rng: random.Random):
     if mode == "joint":
         return {"caption": f"two dogs in a park {rng.randrange(1000)}"}
     if mode == "understand":
-        from PIL import Image
-
-        img = (np.random.RandomState(0).rand(hw, hw, 3) * 255).astype(np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(img).save(buf, format="PNG")
-        return {"image_b64": base64.b64encode(buf.getvalue()).decode()}
+        return {"image_b64": _understand_png(hw)}
     raise ValueError(mode)
+
+
+@functools.lru_cache(maxsize=4)
+def _understand_png(hw: int) -> str:
+    """Encoded ONCE: a ~10-30 ms PIL PNG encode of the same deterministic
+    image inside the arrival loop would silently throttle the offered rate
+    below --rps and break the open-loop Poisson premise at high rates."""
+    from PIL import Image
+
+    img = (np.random.RandomState(0).rand(hw, hw, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
 
 
 def run_load(url: str, mode: str, rps: float, duration: float, hw: int,

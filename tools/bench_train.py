@@ -139,6 +139,11 @@ def bench_mode(mode: str, cfg, shapes) -> dict:
     return {
         "mode": mode,
         "optimizer": tcfg.optim.optimizer,
+        # per-row shape stamp: the section-level "shapes" reflects only
+        # the LAST run, while merged rows may come from different ones
+        "text_len": L,
+        "master_dtype": master,
+        "remat": remat,
         "ms_per_step": round(sec * 1e3, 1),
         "samples_per_sec": round(total_samples / sec, 2),
         "lm_tokens_per_sec": round(lm_tokens / sec, 1),

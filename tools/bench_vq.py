@@ -61,14 +61,16 @@ def main():
         print(f"{name:26s} {ms:9.1f} ms   (compile {compile_s:.0f}s)", flush=True)
         return ms
 
+    # params are ARGUMENTS, never closures: a closure-captured tree is
+    # serialized into the axon remote-compile request (HTTP 413 — CLAUDE.md)
     full = timeit(
         "decode_code (full)",
-        lambda t: vq.decode_code(params, cfg, t, (grid, grid)),
-        tokens,
+        lambda p, t: vq.decode_code(p, cfg, t, (grid, grid)),
+        params, tokens,
     )
 
     def truncated(n_levels_done):
-        def fn(t):
+        def fn(params, t):
             cb = vq._normalized_codebook(params, cfg)
             z_q = jnp.take(cb, t.reshape(-1), axis=0).reshape(
                 B, grid, grid, cfg.codebook_dim
@@ -92,9 +94,9 @@ def main():
 
         return fn
 
-    prev = timeit("conv_in + mid", truncated(0), tokens)
+    prev = timeit("conv_in + mid", truncated(0), params, tokens)
     for n in range(1, len(cfg.ch_mult) + 1):
-        cur = timeit(f"+ level {n}", truncated(n), tokens)
+        cur = timeit(f"+ level {n}", truncated(n), params, tokens)
         print(f"{'':26s} level {n} delta {cur - prev:9.1f} ms", flush=True)
         prev = cur
 
@@ -104,8 +106,8 @@ def main():
     )
     timeit(
         "encode_to_indices",
-        lambda x: vq.encode_to_indices(params, cfg, x),
-        images,
+        lambda p, x: vq.encode_to_indices(p, cfg, x),
+        params, images,
     )
     print(f"full decode {full:.1f} ms = {B / (full / 1e3):.1f} images/s", flush=True)
 

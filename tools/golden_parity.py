@@ -109,6 +109,13 @@ def _diff(ours: List[List[int]], golden: List[List[int]]) -> Dict[str, Any]:
     mismatches = 0
     first = None
     total = 0
+    if len(ours) != len(golden):
+        # zip would silently drop the unmatched rows and report 'match' on
+        # the compared prefix — a row-count skew (stale/hand-edited golden)
+        # is itself a mismatch
+        mismatches += abs(len(ours) - len(golden))
+        first = {"row": min(len(ours), len(golden)), "pos": 0,
+                 "ours": f"{len(ours)} rows", "golden": f"{len(golden)} rows"}
     for bi, (a, b) in enumerate(zip(ours, golden)):
         n = max(len(a), len(b))
         total += n

@@ -70,7 +70,8 @@ def main(argv=None) -> int:
                          "configs/toy_smoke.py)")
     ap.add_argument("--tiny", action="store_true",
                     help="dry-run on a tiny checkpoint (CI); implies "
-                         "--skip-bench and --skip-eval unless given")
+                         "--skip-bench (the eval stage runs only when "
+                         "--eval-data is set)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the JAX platform for the golden_parity and "
                          "eval stages (the torch capture side is always "
@@ -81,8 +82,10 @@ def main(argv=None) -> int:
     ap.add_argument("--eval-data", default=None,
                     help="dataset name for stage 3 (e.g. nsr1k); stage is "
                          "skipped when unset")
-    ap.add_argument("--eval-max-len", type=int, default=0,
-                    help="batches for stage 3 (0 = full dataset)")
+    ap.add_argument("--eval-max-len", type=int, default=-1,
+                    help="batches for stage 3 (-1 = full dataset — eval's "
+                         "sentinel; 0 would run ZERO batches and green-"
+                         "light an empty stage)")
     ap.add_argument("--skip-capture", action="store_true",
                     help="reuse an existing goldens dir")
     ap.add_argument("--skip-bench", action="store_true")
@@ -160,6 +163,7 @@ def main(argv=None) -> int:
 def _finish(out_path: Path, stages, parity) -> int:
     ok = all(s["rc"] == 0 for s in stages)
     bad_modes = []
+    compared = 0
     if parity:
         # mirror golden_parity's own failure set (tools/golden_parity.py
         # exit-code logic): 'no_golden' (mode absent from the capture) and
@@ -167,14 +171,23 @@ def _finish(out_path: Path, stages, parity) -> int:
         # and must not turn the combined report red
         fail = ("mismatch", "internal_mismatch", "prob_mismatch")
         bad_modes = [r["mode"] for r in parity if r.get("status") in fail]
+        compared = sum(1 for r in parity if r.get("status") != "no_golden")
+        if compared == 0:
+            # --skip-capture against an empty/misplaced goldens dir:
+            # "compared nothing" must not read as a weights-day pass
+            ok = False
+            bad_modes = ["(no goldens found — nothing was compared; "
+                         "check <workdir>/goldens or drop --skip-capture)"]
     report = {
         "ok": ok and not bad_modes,
         "stages": stages,
+        "compared_modes": compared,
         "mismatched_modes": bad_modes,
         "parity": parity,
     }
     out_path.write_text(json.dumps(report, indent=1))
     print(json.dumps({"ok": report["ok"], "out": str(out_path),
+                      "compared_modes": compared,
                       "mismatched_modes": bad_modes}))
     return 0 if report["ok"] else 1
 
