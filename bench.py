@@ -85,10 +85,16 @@ def _hbm_floor_s_per_step(cfg, B, weight_mode, kv_int8, growing, L):
     lm = cfg.llama
     h, qd, kvd, inter = lm.hidden_size, lm.q_dim, lm.kv_dim, lm.intermediate_size
     layer_params = h * qd + 2 * h * kvd + qd * h + 2 * h * inter + inter * h
-    gen_head = h * cfg.image_token_embed + cfg.image_token_embed * cfg.image_token_size
-    n_weights = lm.num_layers * layer_params + gen_head
     wbytes = {"bf16": 2.0, "int8": 1.0, "int4": 0.5, "int4_a8": 0.5}[weight_mode]
-    weight_bytes = n_weights * wbytes
+    # gen_head: fc2 quantizes with the LM tower, fc1 stays bf16 in EVERY
+    # quant mode (ops/quant.py _stitch_lm/_int4_leaves touch only fc2) —
+    # bench_step_budget.py models this correctly; counting fc1 at the
+    # quantized width here once made the two rooflines disagree by ~1-2%
+    gh_fc1 = h * cfg.image_token_embed
+    gh_fc2 = cfg.image_token_embed * cfg.image_token_size
+    weight_bytes = (
+        (lm.num_layers * layer_params + gh_fc2) * wbytes + gh_fc1 * 2.0
+    )
 
     n_img = cfg.image_seq_len
     live = _growing_avg_live(L, n_img) if growing else float(L + n_img)
@@ -158,8 +164,6 @@ def sweep() -> None:
     import numpy as np
 
     from plangen_tpu.config import PlanGenModelConfig
-    from plangen_tpu.models import vlm
-    from plangen_tpu.ops.quant import quantize_lm_params, quantize_lm_params_int4
     from plangen_tpu.runtime.generate import generate_image_tokens
 
     L = int(os.environ.get("BENCH_PROMPT_LEN", "64"))
@@ -169,17 +173,18 @@ def sweep() -> None:
     n_img = cfg.image_seq_len
     key = jax.random.PRNGKey(0)
     out_path = Path(__file__).parent / "BENCH_SWEEP.json"
-    # BENCH_SWEEP_ONLY=int4,int4_a8 remeasures a config subset; its rows
-    # MERGE over the committed matrix by (config, batch) so a targeted
-    # refresh never drops the other configs' measurements
+    # rows MERGE over the committed matrix by (config, batch) — both for
+    # BENCH_SWEEP_ONLY subsets AND the full sweep: each fresh row REPLACES
+    # its committed counterpart as it lands, so a mid-run crash (tunnel
+    # outage, OOM) keeps every not-yet-remeasured row instead of leaving a
+    # near-empty matrix behind
     only = os.environ.get("BENCH_SWEEP_ONLY")
     only_set = set(only.split(",")) if only else None
     configs = [c for c in SWEEP_CONFIGS
                if only_set is None or c[0] in only_set]
     rows = []
-    if only_set and out_path.exists():
-        rows = [r for r in json.loads(out_path.read_text()).get("rows", [])
-                if r.get("config") not in only_set]
+    if out_path.exists():
+        rows = json.loads(out_path.read_text()).get("rows", [])
 
     for name, wmode, kv_int8 in configs:
         params = _init_quantized_params(cfg, key, wmode)
@@ -206,8 +211,8 @@ def sweep() -> None:
             try:
                 run(0)  # compile
             except Exception as e:
-                rows.append({"config": name, "batch": B,
-                             "error": f"{type(e).__name__}"})
+                fresh = {"config": name, "batch": B,
+                         "error": f"{type(e).__name__}"}
                 sys.stderr.write(f"sweep {name} B={B}: {type(e).__name__}\n")
             else:
                 best, _ = _best(run, repeats)
@@ -215,7 +220,7 @@ def sweep() -> None:
                 floor = _hbm_floor_s_per_step(
                     cfg, B, wmode or "bf16", kv_int8, growing, L
                 )
-                rows.append({
+                fresh = {
                     "config": name,
                     "batch": B,
                     "tokens_per_sec": round(B * n_img / best, 2),
@@ -223,8 +228,11 @@ def sweep() -> None:
                     "s_per_batch": round(best, 3),
                     "hbm_floor_s_per_step": round(floor, 6),
                     "pct_of_hbm_floor": round(100.0 * floor / s_step, 1),
-                })
-            sys.stderr.write(json.dumps(rows[-1]) + "\n")
+                }
+            rows = [r for r in rows
+                    if (r.get("config"), r.get("batch")) != (name, B)]
+            rows.append(fresh)
+            sys.stderr.write(json.dumps(fresh) + "\n")
             # checkpoint after every row (incl. error rows): a crash keeps
             # partial results and failures stay in the artifact. READ-MERGE-
             # WRITE so a refresh never drops the text_rows section.
@@ -260,8 +268,6 @@ def sweep_text() -> None:
     import numpy as np
 
     from plangen_tpu.config import PlanGenModelConfig
-    from plangen_tpu.models import vlm
-    from plangen_tpu.ops.quant import quantize_lm_params, quantize_lm_params_int4
     from plangen_tpu.runtime.generate import greedy_decode_text
 
     L = int(os.environ.get("BENCH_PROMPT_LEN", "64"))

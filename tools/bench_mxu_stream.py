@@ -22,7 +22,10 @@ shapes (the W4A8 weight kernel saw the same ~10%, DESIGN.md §4).
 """
 import time, json
 import jax, jax.numpy as jnp, numpy as np
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+except Exception:
+    pass
 
 M, K, N = 128, 2048, 2048
 

@@ -118,7 +118,8 @@ def main() -> None:
     params_mode = object()
     for name, B in wanted:
         wmode, kv_int8 = by_name[name]
-        if wmode is not params_mode:
+        if wmode != params_mode:  # value compare — identity only worked
+            # because by_name returns interned SWEEP_CONFIGS tuples
             params = bench._init_quantized_params(cfg, key, wmode)
             params_mode = wmode
         embeds = jax.random.normal(
@@ -134,6 +135,11 @@ def main() -> None:
             v: a for v, a in VARIANTS.items()
             if only is None or v in only.split(",")
         }
+        if "full" not in variants:
+            # every published field is a delta vs the full program — a
+            # subset without it would burn minutes of remote compile per
+            # variant and then write NOTHING
+            variants = {"full": VARIANTS["full"], **variants}
         for vname, abl in variants.items():
             def run(seed):
                 out = generate_image_tokens(
@@ -196,6 +202,16 @@ def main() -> None:
         by_key = {(r["config"], r["batch"]): dict(r) for r in old_rows}
         for r in rows:
             merged = by_key.setdefault((r["config"], r["batch"]), {})
+            # a successful re-measurement supersedes its variant's stale
+            # error marker (and vice versa): drop the counterpart key so a
+            # row never reports a component as both failed and measured
+            for cname, vname in (("head", "nohead"), ("attn", "noattn"),
+                                 ("mats", "nomats"), ("base", "base"),
+                                 ("full", "full")):
+                if f"{cname}_ms" in r:
+                    merged.pop(f"{vname}_error", None)
+                if f"{vname}_error" in r:
+                    merged.pop(f"{cname}_ms", None)
             merged.update(r)
             parts = [merged.get(k) for k in
                      ("head_ms", "attn_ms", "mats_ms", "base_ms")]
