@@ -184,3 +184,28 @@ class TestRouting:
     def test_text_decode_routes(self, pipe):
         out = pipe.plan(["a cat"])  # 1 row -> int4 route
         assert len(out) == 1 and out[0].startswith("<grounding>")
+
+    def test_callers_pass_true_matmul_row_counts(self, pipe):
+        """Pin the CALLERS' row arithmetic, not just _params_for's
+        threshold: image decode must route by 2 x images x parallel_size
+        CFG rows and text decode by batch rows — a regression to passing
+        B images would route int4 up to 128 matmul rows (the measured-
+        worse config) while every output-shape assertion stays green."""
+        calls = []
+        orig = pipe._params_for
+
+        def spy(n_rows):
+            calls.append(n_rows)
+            return orig(n_rows)
+
+        pipe._params_for = spy
+        try:
+            g = ("<grounding><ref>cat</ref><box>[100, 100, 500, 500]</box>"
+                 "</grounding>")
+            pipe.layout_to_image(["a cat", "a dog"], [g, g], seed=1,
+                                 parallel_size=2)
+            assert calls[-1] == 2 * 2 * 2  # 2 images x ps 2 x CFG dual
+            pipe.plan(["a", "b", "c"])
+            assert calls[-1] == 3  # text rows = batch, no CFG dual
+        finally:
+            pipe._params_for = orig

