@@ -50,10 +50,20 @@ def main():
     p.add_argument("--janus-path", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="edited.png")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--tpu", action="store_true",
+                   help="run the tiny demo on the default (TPU) device; "
+                   "without --janus-path the demo defaults to CPU")
     args = p.parse_args()
 
     import numpy as np
     import jax
+
+    if args.cpu or (args.janus_path is None and not args.tpu):
+        # see examples/generate.py: demo defaults to CPU; JAX_PLATFORMS
+        # cannot override an already-registered TPU plugin
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from plangen_tpu.config import PlanGenConfig, PlanGenModelConfig

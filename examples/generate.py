@@ -27,9 +27,21 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="generated.png")
     p.add_argument("--plan", action="store_true", help="predict the layout too (uni_2stage)")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--tpu", action="store_true",
+                   help="run the tiny demo on the default (TPU) device; "
+                   "without --janus-path the demo defaults to CPU")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu or (args.janus_path is None and not args.tpu):
+        # the random-weight demo runs anywhere; a remote-TPU compile costs
+        # minutes (or hangs outright if the accelerator is unreachable) for
+        # an API demo. In-process selection, not JAX_PLATFORMS: an already-
+        # registered TPU plugin ignores the env var.
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from plangen_tpu.config import PlanGenConfig, PlanGenModelConfig
