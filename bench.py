@@ -47,6 +47,67 @@ sys.path.insert(0, str(Path(__file__).parent))
 REF_TOKENS_PER_SEC = 34.0  # documented ESTIMATE, see module docstring
 
 
+def _probe_device(timeout_s: int = 900) -> bool:
+    """Dispatch a tiny matmul in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel has outage windows where backend init returns UNAVAILABLE
+    or a trivial dispatch hangs 10+ minutes (CLAUDE.md). A hung in-process
+    dispatch cannot be interrupted, so the probe runs out of process; on
+    timeout the caller reports a machine-readable failure instead of hanging
+    the whole bench run (the driver's capture would otherwise record
+    nothing). 15 min covers the slowest observed healthy compile of a
+    trivial program (~50 s) with a wide margin. BENCH_PROBE=0 skips;
+    BENCH_PROBE_TIMEOUT overrides the bound (seconds).
+    """
+    if os.environ.get("BENCH_PROBE") == "0":
+        return True
+    timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", timeout_s))
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "x = jnp.ones((8, 8), dtype=jnp.bfloat16);"
+        "print(np.asarray(jax.jit(lambda a: a @ a)(x))[0, 0])"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            timeout=timeout_s,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _probe_failed_record() -> None:
+    """One JSON line reporting the device unreachable, carrying the committed
+    sweep's best row so the round artifact still holds the measured numbers."""
+    record = {
+        "metric": "image-tokens/sec/chip (576-tok 384px gen, CFG dual batch)",
+        "value": None,
+        "unit": "tokens/s",
+        "error": (
+            "device probe failed: trivial dispatch did not complete — "
+            "accelerator tunnel outage (see CLAUDE.md); committed numbers "
+            "in BENCH_SWEEP.json remain valid"
+        ),
+    }
+    sweep_path = Path(__file__).parent / "BENCH_SWEEP.json"
+    if sweep_path.exists():
+        try:
+            rows = json.loads(sweep_path.read_text()).get("rows", [])
+            best_row = max(rows, key=lambda r: r.get("tokens_per_sec", 0.0))
+            record["sweep_best"] = {
+                k: best_row.get(k)
+                for k in ("config", "batch", "tokens_per_sec",
+                          "pct_of_hbm_floor")
+            }
+            record["sweep_file"] = "BENCH_SWEEP.json (committed)"
+        except Exception:
+            pass
+    print(json.dumps(record))
+
+
 def _best(fn, repeats):
     times = []
     for i in range(repeats):
@@ -591,6 +652,9 @@ def merge_7b_record(sweep_path, B, wmode, kv_int8, tokens_per_sec, extra):
 
 
 if __name__ == "__main__":
+    if not _probe_device():
+        _probe_failed_record()
+        sys.exit(0)
     if os.environ.get("BENCH_SWEEP") == "1":
         sweep()
     elif os.environ.get("BENCH_SWEEP_TEXT") == "1":

@@ -1,0 +1,35 @@
+"""bench.py's device probe: the driver's round-end bench must FAIL FAST
+with a machine-readable record during an accelerator tunnel outage instead
+of hanging forever (the probe runs a trivial dispatch in a subprocess with
+a hard timeout — an in-process hung dispatch cannot be interrupted)."""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import bench
+
+
+class TestProbe:
+    def test_skip_env(self, monkeypatch):
+        monkeypatch.setenv("BENCH_PROBE", "0")
+        assert bench._probe_device() is True
+
+    def test_timeout_returns_false(self, monkeypatch):
+        # 1 s is below bare interpreter+jax import time, so the probe
+        # subprocess always times out — deterministic regardless of
+        # device health
+        monkeypatch.delenv("BENCH_PROBE", raising=False)
+        monkeypatch.setenv("BENCH_PROBE_TIMEOUT", "1")
+        assert bench._probe_device() is False
+
+    def test_failed_record_carries_committed_best(self, capsys):
+        bench._probe_failed_record()
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["value"] is None
+        assert "probe failed" in rec["error"]
+        # the committed sweep's best row rides along so the round artifact
+        # still holds measured numbers
+        assert rec["sweep_best"]["tokens_per_sec"] > 0
