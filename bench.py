@@ -48,35 +48,15 @@ REF_TOKENS_PER_SEC = 34.0  # documented ESTIMATE, see module docstring
 
 
 def _probe_device(timeout_s: int = 900) -> bool:
-    """Dispatch a tiny matmul in a SUBPROCESS with a hard timeout.
+    """Bounded subprocess dispatch probe (utils/device_probe.py) so a tunnel
+    outage yields a machine-readable failure record instead of hanging the
+    driver's round-end capture forever. BENCH_PROBE=0 skips;
+    BENCH_PROBE_TIMEOUT overrides the bound (seconds)."""
+    from plangen_tpu.utils.device_probe import probe_device
 
-    The axon tunnel has outage windows where backend init returns UNAVAILABLE
-    or a trivial dispatch hangs 10+ minutes (CLAUDE.md). A hung in-process
-    dispatch cannot be interrupted, so the probe runs out of process; on
-    timeout the caller reports a machine-readable failure instead of hanging
-    the whole bench run (the driver's capture would otherwise record
-    nothing). 15 min covers the slowest observed healthy compile of a
-    trivial program (~50 s) with a wide margin. BENCH_PROBE=0 skips;
-    BENCH_PROBE_TIMEOUT overrides the bound (seconds).
-    """
-    if os.environ.get("BENCH_PROBE") == "0":
-        return True
-    timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", timeout_s))
-    import subprocess
-
-    code = (
-        "import jax, jax.numpy as jnp, numpy as np;"
-        "x = jnp.ones((8, 8), dtype=jnp.bfloat16);"
-        "print(np.asarray(jax.jit(lambda a: a @ a)(x))[0, 0])"
+    return probe_device(
+        timeout_s, skip_env="BENCH_PROBE", timeout_env="BENCH_PROBE_TIMEOUT"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True,
-            timeout=timeout_s,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
 
 
 def _probe_failed_record() -> None:

@@ -15,6 +15,7 @@ import argparse
 import importlib.util
 import json
 import os
+import sys
 from typing import Optional
 
 from plangen_tpu.config import (
@@ -83,7 +84,17 @@ def cmd_eval(args) -> None:
 
 def cmd_serve(args) -> None:
     from plangen_tpu.serve import serve
+    from plangen_tpu.utils.device_probe import probe_device
 
+    # fail fast on an accelerator tunnel outage: serve startup pays minutes
+    # of remote compiles (warmup) and would otherwise hang there with no
+    # diagnostic. PLANGEN_PROBE=0 skips; PLANGEN_PROBE_TIMEOUT bounds.
+    if not probe_device(platform=args.platform):
+        sys.exit(
+            "serve: device probe failed — a trivial dispatch did not "
+            "complete within the bound (accelerator tunnel outage?). "
+            "Retry later, or PLANGEN_PROBE=0 to skip the check."
+        )
     cfg = load_config(args.cfg, args.opt)
     serve(cfg, host=args.host, port=args.port,
           max_batch=args.max_batch, wait_ms=args.wait_ms,

@@ -33,3 +33,30 @@ class TestProbe:
         # the committed sweep's best row rides along so the round artifact
         # still holds measured numbers
         assert rec["sweep_best"]["tokens_per_sec"] > 0
+
+
+class TestSharedProbe:
+    def test_platform_pin_probes_cpu(self, monkeypatch):
+        """platform='cpu' must pin the SUBPROCESS to CPU (in-process config
+        — a registered TPU plugin ignores JAX_PLATFORMS), so a CPU smoke
+        run's probe succeeds regardless of tunnel health."""
+        from plangen_tpu.utils.device_probe import probe_device
+
+        monkeypatch.delenv("PLANGEN_PROBE", raising=False)
+        monkeypatch.delenv("PLANGEN_PROBE_TIMEOUT", raising=False)
+        assert probe_device(timeout_s=120, platform="cpu") is True
+
+    def test_serve_cli_fails_fast_on_dead_device(self):
+        """`cli serve` exits with a diagnostic when the probe times out,
+        instead of hanging in warmup compiles (1 s bound < interpreter
+        boot, so the probe subprocess always times out here)."""
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, "-m", "plangen_tpu.cli", "serve"],
+            capture_output=True, text=True, timeout=120,
+            env={**__import__("os").environ, "PLANGEN_PROBE_TIMEOUT": "1"},
+            cwd=str(Path(__file__).parent.parent),
+        )
+        assert r.returncode != 0
+        assert "device probe failed" in r.stderr
