@@ -160,6 +160,17 @@ SWEEP_CONFIGS = [
 SWEEP_BATCHES = (1, 32, 64)
 
 
+def _sweep_batches():
+    """BENCH_BATCHES="1,32,64" overrides the sweep's batch list — used to
+    probe odd sizes opportunistically (e.g. the B=64-OK / B=96-OOM gap for
+    int8_kv) without re-running the whole matrix; rows merge by
+    (config, batch) like every other refresh."""
+    env = os.environ.get("BENCH_BATCHES")
+    if not env:
+        return SWEEP_BATCHES
+    return tuple(int(b) for b in env.split(","))
+
+
 def _init_quantized_params(cfg, key, wmode):
     """init + quantize in ONE jitted program (XLA frees each dense weight as
     its quantized form exists — required for 7B, cheap everywhere)."""
@@ -230,7 +241,7 @@ def sweep() -> None:
     for name, wmode, kv_int8 in configs:
         params = _init_quantized_params(cfg, key, wmode)
 
-        for B in SWEEP_BATCHES:
+        for B in _sweep_batches():
             embeds = jax.random.normal(
                 jax.random.PRNGKey(1), (2 * B, L, cfg.llama.hidden_size),
                 dtype=jnp.bfloat16,
