@@ -146,6 +146,9 @@ def main(argv=None) -> None:
     # the first device query — a CLI flag is the only reliable place
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX platform (cpu = smoke-test off-device)")
+    from plangen_tpu import __version__
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pt = sub.add_parser("train", help="multi-task training")

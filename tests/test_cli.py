@@ -96,3 +96,13 @@ class TestValidateConfig:
         validate_config(load_config(
             None, ["generation.quantize=int8", "generation.kv_a8=true"]
         ))
+
+
+def test_version_flag_prints_package_version(capsys):
+    import plangen_tpu
+    from plangen_tpu.cli import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert plangen_tpu.__version__ in capsys.readouterr().out
