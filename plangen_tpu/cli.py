@@ -139,6 +139,26 @@ def cmd_convert(args) -> None:
     print(json.dumps({"saved": out, "params_m": round(n / 1e6, 1)}))
 
 
+def cmd_metrics(args) -> None:
+    """FID/KID between two image directories (the gt_image/ and pr_image/
+    trees an eval run writes), over the framework's own SigLIP tower —
+    the built-in replacement for the reference's external-FID workflow
+    (SURVEY §4). Prints one JSON line."""
+    from plangen_tpu.tasks.eval import build_pipeline
+    from plangen_tpu.tasks.image_metrics import (
+        SigLIPFeaturizer,
+        fid_kid_from_features,
+        load_image_dir,
+    )
+
+    cfg = load_config(args.cfg, args.opt)
+    pipe = build_pipeline(cfg)
+    feat = SigLIPFeaturizer(pipe.params, cfg.model, batch_size=args.batch)
+    gt = feat(load_image_dir(args.gt_dir, limit=args.limit))
+    pr = feat(load_image_dir(args.pr_dir, limit=args.limit))
+    print(json.dumps(fid_kid_from_features(gt, pr)))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="plangen_tpu")
     # plugin platforms (axon TPU) register at import and ignore
@@ -194,6 +214,18 @@ def main(argv=None) -> None:
                     choices=["int8", "int4", "int4_a8"],
                     help="write a quantized serving artifact")
     pc.set_defaults(fn=cmd_convert)
+
+    pm = sub.add_parser(
+        "metrics", help="FID/KID (SigLIP features) between two image dirs"
+    )
+    pm.add_argument("gt_dir", help="reference images (eval gt_image/ tree)")
+    pm.add_argument("pr_dir", help="generated images (eval pr_image/ tree)")
+    pm.add_argument("--cfg", default=None)
+    pm.add_argument("--opt", nargs="*", default=[])
+    pm.add_argument("--batch", type=int, default=16)
+    pm.add_argument("--limit", type=int, default=None,
+                    help="cap images per side (sorted filename order)")
+    pm.set_defaults(fn=cmd_metrics)
 
     args = p.parse_args(argv)
     import jax

@@ -379,6 +379,10 @@ class TrainConfig:
     # batches per in-training validation pass (-1 = full test set); the old
     # hardcoded max_len=1 made the cadence a near-no-op
     val_max_len: int = 4
+    # built-in FID/KID over SigLIP features for image-producing eval modes
+    # (tasks/image_metrics.py; reference computes FID externally, SURVEY §4).
+    # Off by default: it adds one SigLIP forward per gt+pr image.
+    val_image_metrics: bool = False
     # loss scales: map loss-key substring -> multiplier; plan_lr_scale applies to
     # every '*lm*' loss key (reference forward: plangen_base.py:1077-1084)
     loss_scales: Dict[str, float] = field(default_factory=dict)

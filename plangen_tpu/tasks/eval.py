@@ -197,6 +197,13 @@ def run_validation(
 
     results = []
     per_sample_metrics = []
+    # built-in FID/KID (train.val_image_metrics): SigLIP features of every
+    # gt/pr image pair accumulate across batches, metrics computed once at
+    # the end (tasks/image_metrics.py). The featurizer reuses the pipeline's
+    # vision tower (quantization never touches the vision_model subtree).
+    featurizer = None
+    gt_feats: List[np.ndarray] = []
+    pr_feats: List[np.ndarray] = []
     n_batches = min(max_len, -(-len(ds) // batch_size)) if max_len != -1 else -(
         -len(ds) // batch_size
     )
@@ -236,18 +243,47 @@ def run_validation(
                     pr_b, _ = parse_grounding(pr or "",
                                               textual=cfg.use_textual)
                     per_sample_metrics.append(layout_metrics(pr_b, gt_b))
+            if cfg.train.val_image_metrics and out["pr_image"] is not None:
+                pairs = [
+                    (s.image, np.asarray(out["pr_image"][i]))
+                    for i, s in enumerate(samples)
+                    if s.image is not None
+                ]
+                if pairs:
+                    if featurizer is None:
+                        from plangen_tpu.tasks.image_metrics import (
+                            SigLIPFeaturizer,
+                        )
+
+                        featurizer = SigLIPFeaturizer(
+                            pipe.params, cfg.model,
+                            batch_size=max(2, batch_size),
+                        )
+                    gt_feats.append(featurizer(np.stack([p[0] for p in pairs])))
+                    pr_feats.append(featurizer(np.stack([p[1] for p in pairs])))
             results.append(out)
     finally:
         # an artifact-save error must still observe/stop the in-flight fetch
         pool.shutdown(wait=True)
 
+    agg: Dict[str, float] = {}
     if per_sample_metrics:
         from plangen_tpu.tasks.metrics import aggregate_layout_metrics
 
-        agg = aggregate_layout_metrics(per_sample_metrics)
+        agg.update(aggregate_layout_metrics(per_sample_metrics))
+    if gt_feats:
+        from plangen_tpu.tasks.image_metrics import fid_kid_from_features
+
+        g = np.concatenate(gt_feats)
+        p = np.concatenate(pr_feats)
+        if len(g) >= 2 and len(p) >= 2:
+            agg.update(fid_kid_from_features(g, p))
+        else:
+            print("image metrics skipped: need >=2 gt/pr image pairs")
+    if agg:
         with open(os.path.join(base, f"{global_step}_metrics.json"), "w") as f:
             json.dump(agg, f, indent=1)
-        print(f"layout metrics: {agg}")
+        print(f"eval metrics: {agg}")
         if metrics_cb is not None:
             metrics_cb(agg)
     return results

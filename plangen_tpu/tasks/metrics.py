@@ -8,8 +8,8 @@ metrics are built in so `eval` runs report numbers directly:
   * layout mIoU (matched IoU mean), precision/recall at an IoU threshold
   * counting accuracy (predicted object count vs GT)
 
-Image-quality metrics (FID) still require external feature models and remain
-out of scope, matching the reference.
+Image-quality metrics (FID/KID over SigLIP features) live in
+`tasks/image_metrics.py` (train.val_image_metrics / `cli metrics`).
 """
 
 from __future__ import annotations
