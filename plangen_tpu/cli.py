@@ -144,7 +144,6 @@ def cmd_metrics(args) -> None:
     trees an eval run writes), over the framework's own SigLIP tower —
     the built-in replacement for the reference's external-FID workflow
     (SURVEY §4). Prints one JSON line."""
-    from plangen_tpu.tasks.eval import build_pipeline
     from plangen_tpu.tasks.image_metrics import (
         SigLIPFeaturizer,
         fid_kid_from_features,
@@ -152,8 +151,24 @@ def cmd_metrics(args) -> None:
     )
 
     cfg = load_config(args.cfg, args.opt)
-    pipe = build_pipeline(cfg)
-    feat = SigLIPFeaturizer(pipe.params, cfg.model, batch_size=args.batch)
+    # The featurizer only reads params["vision_model"] — load weights
+    # directly instead of build_pipeline, which would also pay the LM
+    # quantize/fusion jits and tokenizer load (minutes of remote compile
+    # on axon) for weights the metric never touches.
+    from plangen_tpu.convert.loading import load_params
+
+    params = load_params(cfg)
+    if params is None:
+        import jax
+        import jax.numpy as jnp
+
+        from plangen_tpu.models import vlm
+
+        params = vlm.init(
+            jax.random.PRNGKey(cfg.generation.seed), cfg.model,
+            dtype=jnp.bfloat16,
+        )
+    feat = SigLIPFeaturizer(params, cfg.model, batch_size=args.batch)
     gt = feat(load_image_dir(args.gt_dir, limit=args.limit))
     pr = feat(load_image_dir(args.pr_dir, limit=args.limit))
     print(json.dumps(fid_kid_from_features(gt, pr)))

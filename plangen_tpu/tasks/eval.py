@@ -244,10 +244,17 @@ def run_validation(
                                               textual=cfg.use_textual)
                     per_sample_metrics.append(layout_metrics(pr_b, gt_b))
             if cfg.train.val_image_metrics and out["pr_image"] is not None:
+                # GT side: for edit/rm prefer the post-edit target when the
+                # dataset carries one (Sample.edited_image) — pairing against
+                # the PRE-edit original would score an identity model (one
+                # that ignores the edit) as perfect. Without edit GT the
+                # original is still a usable distribution reference, but the
+                # caveat stands; plain generation modes pair against s.image.
                 pairs = [
-                    (s.image, np.asarray(out["pr_image"][i]))
+                    (s.edited_image if s.edited_image is not None else s.image,
+                     np.asarray(out["pr_image"][i]))
                     for i, s in enumerate(samples)
-                    if s.image is not None
+                    if s.edited_image is not None or s.image is not None
                 ]
                 if pairs:
                     if featurizer is None:

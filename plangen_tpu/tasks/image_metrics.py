@@ -114,6 +114,11 @@ def kid_poly(
     m = min(len(f1), len(f2), subset_size or 1000)
     if m < 2:
         raise ValueError("KID needs at least 2 samples per side")
+    if m >= len(f1) and m >= len(f2):
+        # no subsampling possible: every "subset" is a permutation of the
+        # full sets and the unbiased MMD is permutation-invariant — compute
+        # once; std 0.0 here means "no subsampling", not high confidence
+        return _mmd2_unbiased(f1, f2), 0.0
     rng = np.random.default_rng(seed)
     vals = []
     for _ in range(n_subsets):
@@ -173,13 +178,16 @@ class SigLIPFeaturizer:
             return feats.astype(jnp.float32).mean(axis=1)
 
         self._fn = _feats
-        self._jnp = jnp
 
     @staticmethod
     def to_model_range(images: np.ndarray) -> np.ndarray:
         """uint8 [0,255] -> float32 [-1,1]; float input passes through."""
         if images.dtype == np.uint8:
-            return images.astype(np.float32) / 127.5 - 1.0
+            # the ONE owner of the [-1,1] pixel contract (same fn the
+            # train/eval loaders use) so the convention cannot fork
+            from plangen_tpu.data.preprocess import to_model_range
+
+            return to_model_range(images)
         return np.asarray(images, np.float32)
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
@@ -205,11 +213,13 @@ _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
 
 
 def load_image_dir(path: str, limit: Optional[int] = None) -> np.ndarray:
-    """Read every image in a directory (sorted) -> float32 [-1,1] [N,H,W,3].
+    """Read every image in a directory (sorted) -> uint8 [N,H,W,3].
 
     This is the weights-day entry: point it at the gt_image/ and pr_image/
     trees an eval run wrote (tasks/eval.py artifact layout) and compute
-    FID/KID without re-running generation.
+    FID/KID without re-running generation. Stays uint8 (4x smaller than
+    float) — SigLIPFeaturizer converts per compiled batch, so a 10k-image
+    tree costs ~4.4 GB host RAM instead of ~18.
     """
     from PIL import Image
 
@@ -223,14 +233,12 @@ def load_image_dir(path: str, limit: Optional[int] = None) -> np.ndarray:
     imgs = []
     shape = None
     for n in names:
-        arr = np.asarray(Image.open(os.path.join(path, n)).convert("RGB"))
+        img = Image.open(os.path.join(path, n)).convert("RGB")
+        if shape is not None and img.size != (shape[1], shape[0]):
+            # mixed sizes: resize on host to the first image's shape
+            img = img.resize((shape[1], shape[0]), Image.BICUBIC)
+        arr = np.asarray(img, dtype=np.uint8)
         if shape is None:
             shape = arr.shape
-        elif arr.shape != shape:  # mixed sizes: resize on host to the first
-            arr = np.asarray(
-                Image.open(os.path.join(path, n))
-                .convert("RGB")
-                .resize((shape[1], shape[0]), Image.BICUBIC)
-            )
         imgs.append(arr)
-    return np.stack(imgs).astype(np.float32) / 127.5 - 1.0
+    return np.stack(imgs)

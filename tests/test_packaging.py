@@ -8,9 +8,14 @@ These checks pin the metadata to the code without needing an install.
 """
 
 import pathlib
-import tomllib
 
-import plangen_tpu
+import pytest
+
+# stdlib tomllib is 3.11+; requires-python is >=3.10, so these metadata
+# checks skip (not fail) on a 3.10 interpreter without the tomli backport
+tomllib = pytest.importorskip("tomllib")
+
+import plangen_tpu  # noqa: E402
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
