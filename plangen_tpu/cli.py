@@ -174,6 +174,114 @@ def cmd_metrics(args) -> None:
     print(json.dumps(fid_kid_from_features(gt, pr)))
 
 
+def cmd_doctor(args) -> None:
+    """Operability diagnostic: is THIS machine ready to train/serve?
+
+    Answers the questions that otherwise surface minutes-deep into a
+    hung warmup (CLAUDE.md: axon tunnel outages, multi-minute remote
+    compiles): device reachability (bounded subprocess probe — the
+    caller never blocks on the backend), native-lib build state,
+    compile-cache state, config/checkpoint path validity. Prints one
+    human line per check plus a final JSON line; exits non-zero when a
+    required check fails (native libs are optional — pure-Python
+    fallbacks exist — so they only warn)."""
+    import importlib.metadata as md
+    import platform as _plat
+
+    report: dict = {"checks": {}}
+    ok = True
+
+    def check(name, passed, detail, required=True):
+        nonlocal ok
+        status = "ok" if passed else ("FAIL" if required else "warn")
+        if required and not passed:
+            ok = False
+        print(f"[{status:4}] {name}: {detail}")
+        report["checks"][name] = {"ok": bool(passed), "detail": detail,
+                                  "required": bool(required)}
+
+    from plangen_tpu import __version__
+
+    vers = {}
+    for pkg in ("jax", "jaxlib", "flax", "optax", "orbax-checkpoint",
+                "numpy"):
+        try:
+            vers[pkg] = md.version(pkg)
+        except md.PackageNotFoundError:
+            vers[pkg] = None
+    report["versions"] = {"plangen_tpu": __version__,
+                          "python": _plat.python_version(), **vers}
+    missing = [k for k, v in vers.items() if v is None]
+    check("deps", not missing,
+          ", ".join(f"{k} {v}" for k, v in vers.items() if v)
+          + (f" — MISSING: {missing}" if missing else ""))
+
+    # -- device reachability (subprocess-bounded; never hangs the caller)
+    if args.no_probe:
+        print("[skip] device: probe skipped (--no-probe)")
+        report["checks"]["device"] = {"ok": None, "detail": "skipped",
+                                      "required": True}
+    else:
+        from plangen_tpu.utils.device_probe import probe_device_info
+
+        info = probe_device_info(args.probe_timeout, platform=args.platform)
+        report["device"] = info
+        if info["ok"]:
+            detail = (f"{info['device_count']}x {info['platform']} "
+                      f"({info['device_kind']}), trivial dispatch "
+                      f"{info['dispatch_seconds']}s")
+        else:
+            detail = info.get("error", "unreachable")
+        check("device", info["ok"], detail)
+
+    # -- native C++ libs (optional: python fallbacks exist)
+    from plangen_tpu.data.native import native_available
+    from plangen_tpu.text.bpe_native import native_bpe_available
+
+    for name, avail in (("native-data", native_available()),
+                        ("native-bpe", native_bpe_available())):
+        check(name, avail,
+              "loaded" if avail else "not built — `make -C native` "
+              "(pure-Python fallback active)", required=False)
+
+    # -- persistent compile cache
+    cache = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    n_entries = (len(os.listdir(cache))
+                 if os.path.isdir(cache) else 0)
+    check("compile-cache", True,
+          f"{cache} ({n_entries} entries)"
+          + ("" if os.path.isdir(cache) else " — will be created on first "
+             "compile; note axon TPU executables may recompile anyway "
+             "(CLAUDE.md)"),
+          required=False)
+
+    # -- config + checkpoint paths
+    if args.cfg or args.opt:
+        from plangen_tpu.config import validate_config
+
+        try:
+            cfg = validate_config(load_config(args.cfg, args.opt))
+            check("config", True,
+                  f"loaded ({args.cfg or 'defaults'}), "
+                  f"tuning={cfg.train.tuning_mode} "
+                  f"quantize={cfg.generation.quantize or 'bf16'}")
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            check("config", False, f"{type(e).__name__}: {e}")
+            cfg = None
+        if cfg is not None:
+            for field_name in ("janus_path", "params_path", "finetune_path"):
+                path = getattr(cfg, field_name)
+                if path is not None:
+                    check(field_name, os.path.exists(path),
+                          path if os.path.exists(path)
+                          else f"{path} does not exist")
+
+    report["ok"] = ok
+    print(json.dumps(report))
+    if not ok:
+        sys.exit(1)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="plangen_tpu")
     # plugin platforms (axon TPU) register at import and ignore
@@ -241,6 +349,19 @@ def main(argv=None) -> None:
     pm.add_argument("--limit", type=int, default=None,
                     help="cap images per side (sorted filename order)")
     pm.set_defaults(fn=cmd_metrics)
+
+    pd = sub.add_parser(
+        "doctor", help="operability diagnostic (device, libs, config)"
+    )
+    pd.add_argument("--cfg", default=None)
+    pd.add_argument("--opt", nargs="*", default=[])
+    pd.add_argument("--no-probe", action="store_true",
+                    help="skip the device dispatch probe")
+    pd.add_argument("--probe-timeout", type=int, default=900,
+                    help="device probe bound in seconds (healthy axon "
+                         "trivial compiles reach ~50s; outages hang 10+ "
+                         "min)")
+    pd.set_defaults(fn=cmd_doctor)
 
     args = p.parse_args(argv)
     import jax

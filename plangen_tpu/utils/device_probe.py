@@ -14,10 +14,12 @@ window never trips it.
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
-from typing import Optional
+import time
+from typing import Any, Dict, Optional
 
 
 def probe_device(
@@ -54,3 +56,57 @@ def probe_device(
         return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False
+
+
+def probe_device_info(
+    timeout_s: int = 900, platform: Optional[str] = None
+) -> Dict[str, Any]:
+    """Like `probe_device`, but returns what the subprocess SAW.
+
+    The dict always has `ok`; on success it adds `platform`,
+    `device_count`, `device_kind` and `dispatch_seconds` (backend init +
+    compile + one trivial dispatch, wall). On failure it carries `error`
+    ("timeout after Ns" or the subprocess's stderr tail) so `cli doctor`
+    can print a diagnosis instead of a bare boolean. Everything that can
+    hang runs in the subprocess — the caller never touches the backend.
+    """
+    timeout_s = int(os.environ.get("PLANGEN_PROBE_TIMEOUT", timeout_s))
+    pin = (
+        f"jax.config.update('jax_platforms', {platform!r});"
+        if platform else ""
+    )
+    code = (
+        "import json, time, jax;" + pin + "import jax.numpy as jnp;"
+        "import numpy as np; t0 = time.time();"
+        "ds = jax.devices();"
+        "x = jnp.ones((8, 8), dtype=jnp.bfloat16);"
+        "v = float(np.asarray(jax.jit(lambda a: a @ a)(x))[0, 0]);"
+        "print(json.dumps({'platform': ds[0].platform,"
+        " 'device_count': len(ds),"
+        " 'device_kind': getattr(ds[0], 'device_kind', '?'),"
+        " 'dispatch_seconds': round(time.time() - t0, 1),"
+        " 'value': v}))"
+    )
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {
+            "ok": False,
+            "error": f"timeout after {timeout_s}s (tunnel outage? "
+            f"PLANGEN_PROBE_TIMEOUT raises the bound)",
+            "seconds": round(time.time() - t0, 1),
+        }
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
+        return {
+            "ok": False,
+            "error": " | ".join(tail) or f"exit code {r.returncode}",
+            "seconds": round(time.time() - t0, 1),
+        }
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    ok = info.pop("value", None) == 8.0  # 8x8 ones @ ones -> every entry 8
+    return {"ok": ok, **info}

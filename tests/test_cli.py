@@ -106,3 +106,49 @@ def test_version_flag_prints_package_version(capsys):
         main(["--version"])
     assert e.value.code == 0
     assert plangen_tpu.__version__ in capsys.readouterr().out
+
+
+class TestDoctor:
+    """`cli doctor` — operability diagnostic (device probe runs a real
+    subprocess dispatch once; the other cases skip it with --no-probe)."""
+
+    def _run(self, argv, capsys):
+        import json
+
+        from plangen_tpu.cli import main
+
+        code = 0
+        try:
+            main(["--platform", "cpu", "doctor"] + argv)
+        except SystemExit as e:
+            code = e.code
+        out = capsys.readouterr().out
+        return code, json.loads(out.strip().splitlines()[-1])
+
+    def test_healthy_no_probe(self, capsys):
+        code, rep = self._run(["--no-probe"], capsys)
+        assert code == 0 and rep["ok"] is True
+        assert rep["checks"]["deps"]["ok"] is True
+        assert rep["versions"]["jax"]
+        # probe skipped -> recorded as unevaluated, not passed
+        assert rep["checks"]["device"]["ok"] is None
+
+    def test_probe_reports_device_info(self, capsys):
+        code, rep = self._run(["--probe-timeout", "300"], capsys)
+        assert code == 0 and rep["device"]["ok"] is True
+        assert rep["device"]["platform"] == "cpu"
+        assert rep["device"]["device_count"] >= 1
+
+    def test_missing_checkpoint_path_fails(self, capsys, tmp_path):
+        code, rep = self._run(
+            ["--no-probe", "--opt", f"janus_path='{tmp_path}/nope'"], capsys
+        )
+        assert code == 1 and rep["ok"] is False
+        assert rep["checks"]["janus_path"]["ok"] is False
+
+    def test_config_load_error_fails(self, capsys):
+        code, rep = self._run(
+            ["--no-probe", "--opt", "generation.quantize=int7"], capsys
+        )
+        assert code == 1
+        assert rep["checks"]["config"]["ok"] is False
