@@ -139,6 +139,43 @@ def cmd_convert(args) -> None:
     print(json.dumps({"saved": out, "params_m": round(n / 1e6, 1)}))
 
 
+def cmd_export(args) -> None:
+    """Export trained params BACK to the reference's torch world: the full
+    HF state dict, or just the tuning-mode-trainable subtree — i.e. a
+    reference-compatible `trainable_model_parameters.pth`
+    (base_system.py:166-189). Inverse of `cli convert`; round-trip
+    exactness pinned in tests/test_convert.py."""
+    from plangen_tpu.convert.jax_to_torch import (
+        export_state_dict,
+        export_trainable_state_dict,
+        save_torch_state_dict,
+    )
+    from plangen_tpu.convert.loading import load_params
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = load_config(args.cfg, args.opt)
+    # export wants the dense fp32 values, not the serving cast
+    params = load_params(cfg, dtype=jnp.float32)
+    if params is None:
+        sys.exit(
+            "export: no weights configured — set params_path (orbax "
+            "artifact) or janus_path (torch checkpoint dir) via --opt/--cfg"
+        )
+    params = jax.tree_util.tree_map(np.asarray, params)
+    if args.trainable:
+        sd = export_trainable_state_dict(params, cfg.model, args.trainable)
+    else:
+        sd = export_state_dict(params, cfg.model)
+    out = save_torch_state_dict(sd, args.out)
+    total = sum(int(v.size) for v in sd.values())
+    print(json.dumps({"saved": out, "keys": len(sd),
+                      "params_m": round(total / 1e6, 1),
+                      "trainable": args.trainable}))
+
+
 def cmd_metrics(args) -> None:
     """FID/KID between two image directories (the gt_image/ and pr_image/
     trees an eval run writes), over the framework's own SigLIP tower —
@@ -349,6 +386,20 @@ def main(argv=None) -> None:
     pm.add_argument("--limit", type=int, default=None,
                     help="cap images per side (sorted filename order)")
     pm.set_defaults(fn=cmd_metrics)
+
+    px = sub.add_parser(
+        "export",
+        help="params -> torch state dict (reference finetune format)",
+    )
+    px.add_argument("--cfg", default=None)
+    px.add_argument("--opt", nargs="*", default=[])
+    px.add_argument("--out", default="trainable_model_parameters.pth",
+                    help=".pth/.pt/.bin (torch), .safetensors, or .npz")
+    px.add_argument("--trainable", default=None,
+                    help="export only this tuning mode's trained subtree "
+                         "(stage1/stage2/stage3/lm/lora/lora_tokens/all); "
+                         "omit for the full state dict")
+    px.set_defaults(fn=cmd_export)
 
     pd = sub.add_parser(
         "doctor", help="operability diagnostic (device, libs, config)"

@@ -361,3 +361,162 @@ class TestConvertCLI:
         out = tmp_path / "params_out"
         main(["convert", "--janus-path", str(ckpt_dir), "--out", str(out)])
         assert out.exists()
+
+
+class TestJaxToTorchExport:
+    """Inverse converter: torch->jax->torch and jax->torch->jax round trips
+    must be exact (transposes only), and the trainable filter must match
+    the tuning-mode predicates training froze with."""
+
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        return PlanGenModelConfig.tiny()
+
+    @pytest.fixture(scope="class")
+    def rand_sd(self, tiny):
+        rng = np.random.default_rng(7)
+        return {
+            k: rng.standard_normal(v.shape).astype(np.float32)
+            for k, v in synth_state_dict(tiny).items()
+        }
+
+    def test_torch_jax_torch_roundtrip_exact(self, tiny, rand_sd):
+        from plangen_tpu.convert.jax_to_torch import export_state_dict
+        from plangen_tpu.convert.torch_to_jax import convert_state_dict
+
+        params = convert_state_dict(rand_sd, tiny, dtype=np.float32)
+        back = export_state_dict(params, tiny)
+        assert set(back) == set(rand_sd)
+        for k in rand_sd:
+            np.testing.assert_array_equal(back[k], rand_sd[k], err_msg=k)
+
+    def test_jax_torch_jax_roundtrip_exact(self, tiny):
+        from plangen_tpu.convert.jax_to_torch import export_state_dict
+        from plangen_tpu.convert.torch_to_jax import convert_state_dict
+
+        params = vlm_init_np(tiny)
+        sd = export_state_dict(params, tiny)
+        back = convert_state_dict(sd, tiny, dtype=np.float32)
+        flat_a = jax.tree_util.tree_leaves_with_path(params)
+        flat_b = jax.tree_util.tree_leaves_with_path(back)
+        assert len(flat_a) == len(flat_b)
+        for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                          err_msg=str(pa))
+
+    def test_trainable_filter_matches_tuning_modes(self, tiny, rand_sd):
+        from plangen_tpu.convert.jax_to_torch import (
+            export_state_dict,
+            export_trainable_state_dict,
+        )
+        from plangen_tpu.convert.torch_to_jax import convert_state_dict
+
+        params = convert_state_dict(rand_sd, tiny, dtype=np.float32)
+        full = export_state_dict(params, tiny)
+        s1 = export_trainable_state_dict(params, tiny, "stage1")
+        assert s1 and set(s1) < set(full)
+        assert all(k.startswith(("aligner.", "gen_aligner.", "gen_head."))
+                   for k in s1)
+        s3 = export_trainable_state_dict(params, tiny, "stage3")
+        assert not any(k.startswith("gen_vision_model.") for k in s3)
+        assert any(k.startswith("language_model.") for k in s3)
+        assert any(k.startswith("vision_model.") for k in s3)
+        with pytest.raises(ValueError, match="tuning_mode"):
+            export_trainable_state_dict(params, tiny, "nope")
+
+    def test_overlay_reloads_like_reference_finetune(self, tiny, rand_sd):
+        # the exported trainable dict must function as a strict=False
+        # overlay on the base sd (base_system.py:158-162 semantics)
+        from plangen_tpu.convert.jax_to_torch import (
+            export_trainable_state_dict,
+        )
+        from plangen_tpu.convert.torch_to_jax import convert_state_dict
+
+        params = convert_state_dict(rand_sd, tiny, dtype=np.float32)
+        # "train" stage1: scale the aligner weights
+        params["aligner"]["layers"][0]["w"] = (
+            params["aligner"]["layers"][0]["w"] * 2.0
+        )
+        overlay = export_trainable_state_dict(params, tiny, "stage1")
+        merged = {**rand_sd, **overlay}
+        re = convert_state_dict(merged, tiny, dtype=np.float32)
+        np.testing.assert_array_equal(
+            re["aligner"]["layers"][0]["w"],
+            params["aligner"]["layers"][0]["w"],
+        )
+        np.testing.assert_array_equal(
+            re["language_model"]["layers"]["q_proj"],
+            params["language_model"]["layers"]["q_proj"],
+        )
+
+    def test_lora_tree_merges_before_export(self, tiny, rand_sd):
+        from plangen_tpu.convert.jax_to_torch import export_state_dict
+        from plangen_tpu.convert.torch_to_jax import convert_state_dict
+        from plangen_tpu.train.lora import add_lora, init_lora, merge_lora
+
+        params = convert_state_dict(rand_sd, tiny, dtype=np.float32)
+        lora = init_lora(jax.random.PRNGKey(3), tiny.llama, rank=2)
+        # make B nonzero so the merge actually changes the weights
+        lora["q_proj"]["b"] = jnp.ones_like(lora["q_proj"]["b"]) * 0.01
+        with_lora = add_lora(params, lora)
+        sd = export_state_dict(with_lora, tiny)
+        merged = merge_lora(with_lora)
+        np.testing.assert_array_equal(
+            sd["language_model.model.layers.0.self_attn.q_proj.weight"],
+            np.asarray(
+                merged["language_model"]["layers"]["q_proj"][0]
+            ).T,
+        )
+        assert not any("lora" in k for k in sd)
+
+    def test_lora_trainable_export_is_merged_projections(self, tiny, rand_sd):
+        from plangen_tpu.convert.jax_to_torch import (
+            export_trainable_state_dict,
+        )
+        from plangen_tpu.convert.torch_to_jax import convert_state_dict
+        from plangen_tpu.train.lora import add_lora, init_lora
+
+        params = convert_state_dict(rand_sd, tiny, dtype=np.float32)
+        with_lora = add_lora(
+            params, init_lora(jax.random.PRNGKey(3), tiny.llama, rank=2)
+        )
+        out = export_trainable_state_dict(with_lora, tiny, "lora")
+        assert out and all(
+            any(t in k for t in ("q_proj", "k_proj", "v_proj", "o_proj"))
+            for k in out
+        )
+        toks = export_trainable_state_dict(with_lora, tiny, "lora_tokens")
+        assert "language_model.model.embed_tokens.weight" in toks
+
+    def test_quantized_tree_refused(self, tiny, rand_sd):
+        from plangen_tpu.convert.jax_to_torch import export_state_dict
+        from plangen_tpu.convert.torch_to_jax import convert_state_dict
+        from plangen_tpu.ops.quant import quantize_lm_params
+
+        params = convert_state_dict(rand_sd, tiny, dtype=np.float32)
+        qparams = quantize_lm_params(
+            jax.tree_util.tree_map(jnp.asarray, params)
+        )
+        with pytest.raises(ValueError, match="quantized"):
+            export_state_dict(qparams, tiny)
+
+    def test_save_formats(self, tiny, rand_sd, tmp_path):
+        from plangen_tpu.convert.jax_to_torch import (
+            export_trainable_state_dict,
+            save_torch_state_dict,
+        )
+        from plangen_tpu.convert.torch_to_jax import convert_state_dict
+
+        params = convert_state_dict(rand_sd, tiny, dtype=np.float32)
+        sd = export_trainable_state_dict(params, tiny, "stage1")
+        p = save_torch_state_dict(sd, str(tmp_path / "trainable.pth"))
+        loaded = torch.load(p, map_location="cpu")
+        assert set(loaded) == set(sd)
+        np.testing.assert_array_equal(
+            loaded[next(iter(sd))].numpy(), sd[next(iter(sd))]
+        )
+        z = np.load(save_torch_state_dict(sd, str(tmp_path / "t.npz")))
+        assert set(z.files) == set(sd)
+        with pytest.raises(ValueError, match="extension"):
+            save_torch_state_dict(sd, str(tmp_path / "t.xyz"))
