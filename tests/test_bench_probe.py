@@ -60,3 +60,35 @@ class TestSharedProbe:
         )
         assert r.returncode != 0
         assert "device probe failed" in r.stderr
+
+
+class TestProbeInfo:
+    """probe_device_info: the `cli doctor` probe must report WHAT it saw
+    (platform/count/timing) on success and a diagnosis on failure."""
+
+    def test_healthy_cpu(self, monkeypatch):
+        from plangen_tpu.utils.device_probe import probe_device_info
+
+        monkeypatch.delenv("PLANGEN_PROBE_TIMEOUT", raising=False)
+        info = probe_device_info(timeout_s=120, platform="cpu")
+        assert info["ok"] is True
+        assert info["platform"] == "cpu" and info["device_count"] >= 1
+        assert info["dispatch_seconds"] >= 0
+
+    def test_timeout_diagnosis(self, monkeypatch):
+        from plangen_tpu.utils.device_probe import probe_device_info
+
+        monkeypatch.setenv("PLANGEN_PROBE_TIMEOUT", "1")
+        info = probe_device_info(platform="cpu")
+        assert info["ok"] is False
+        assert "timeout" in info["error"]
+
+    def test_subprocess_error_diagnosis(self, monkeypatch):
+        # an invalid platform makes the subprocess raise during backend
+        # selection; the stderr tail must surface in the report
+        from plangen_tpu.utils.device_probe import probe_device_info
+
+        monkeypatch.delenv("PLANGEN_PROBE_TIMEOUT", raising=False)
+        info = probe_device_info(timeout_s=120, platform="not_a_platform")
+        assert info["ok"] is False
+        assert info["error"]
