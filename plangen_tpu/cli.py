@@ -165,11 +165,15 @@ def cmd_export(args) -> None:
             "artifact) or janus_path (torch checkpoint dir) via --opt/--cfg"
         )
     params = jax.tree_util.tree_map(np.asarray, params)
-    if args.trainable:
-        sd = export_trainable_state_dict(params, cfg.model, args.trainable)
-    else:
-        sd = export_state_dict(params, cfg.model)
-    out = save_torch_state_dict(sd, args.out)
+    try:
+        if args.trainable:
+            sd = export_trainable_state_dict(params, cfg.model,
+                                             args.trainable)
+        else:
+            sd = export_state_dict(params, cfg.model)
+        out = save_torch_state_dict(sd, args.out)
+    except ValueError as e:  # quantized tree / unknown mode / bad extension
+        sys.exit(f"export: {e}")
     total = sum(int(v.size) for v in sd.values())
     print(json.dumps({"saved": out, "keys": len(sd),
                       "params_m": round(total / 1e6, 1),
