@@ -29,7 +29,7 @@ jax -> torch -> jax pytree equality) is pinned by tests/test_convert.py.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import numpy as np
 
