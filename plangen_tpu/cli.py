@@ -177,7 +177,11 @@ def cmd_export(args) -> None:
     total = sum(int(v.size) for v in sd.values())
     print(json.dumps({"saved": out, "keys": len(sd),
                       "params_m": round(total / 1e6, 1),
-                      "trainable": args.trainable}))
+                      "trainable": args.trainable,
+                      # bf16 sources upcast: fp32 values, 2x bf16 disk size.
+                      # torch load_state_dict casts on copy_, so the
+                      # reference consumes this as-is.
+                      "dtype": "float32 (bf16 params upcast on export)"}))
 
 
 def cmd_metrics(args) -> None:

@@ -38,10 +38,14 @@ from plangen_tpu.config import PlanGenModelConfig, ProjectorConfig
 
 def _np(x: Any) -> np.ndarray:
     arr = np.asarray(x)
-    if arr.dtype == np.dtype("V2") or "bfloat16" in str(arr.dtype):
-        # ml_dtypes bf16 torch.save's fine via numpy only as fp32
-        import ml_dtypes  # noqa: F401 — dtype registration
+    if arr.dtype == np.dtype("V2"):
+        # raw 2-byte void = bf16 that lost its ml_dtypes registration:
+        # reinterpret the bits first (astype on a void dtype raises)
+        import ml_dtypes
 
+        arr = arr.view(ml_dtypes.bfloat16).astype(np.float32)
+    elif "bfloat16" in str(arr.dtype):
+        # ml_dtypes bf16 torch.save's fine via numpy only as fp32
         arr = arr.astype(np.float32)
     return arr
 
@@ -269,11 +273,20 @@ def export_state_dict(
 
 
 def export_trainable_state_dict(
-    params: Dict[str, Any], cfg: PlanGenModelConfig, tuning_mode: str
+    params: Dict[str, Any], cfg: PlanGenModelConfig, tuning_mode: str,
+    prefix: str = "vl_gpt.",
 ) -> Dict[str, np.ndarray]:
     """Only the keys a tuning mode trained — the reference's
     `trainable_model_parameters.pth` payload (base_system.py:166-189),
     filtered by the SAME path predicates `train/optim.py` froze with.
+
+    Keys carry the `vl_gpt.` prefix by default: the reference saves from
+    the SYSTEM module's `named_parameters()` (base_system.py:188-189)
+    where the VLM is registered as `self.vl_gpt` (plangen_base.py:104),
+    and loads the payload back with `self.load_state_dict(sd,
+    strict=False)` (base_system.py:153-154) — bare HF names would
+    silently match ZERO keys there. Pass `prefix=""` for bare HF names
+    (e.g. to overlay onto an HF `MultiModalityCausalLM` directly).
 
     'lora'/'lora_tokens' export the MERGED projections the adapters touched
     (q/k/v/o — the reference can only consume merged weights), plus the
@@ -298,7 +311,8 @@ def export_trainable_state_dict(
     else:
         pred = TUNING_MODES[tuning_mode]
     em = _export(params, cfg)
-    return {k: v for k, v in em.sd.items() if pred(em.jax_path[k])}
+    return {prefix + k: v for k, v in em.sd.items()
+            if pred(em.jax_path[k])}
 
 
 def save_torch_state_dict(sd: Dict[str, np.ndarray], path: str) -> str:

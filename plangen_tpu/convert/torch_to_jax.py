@@ -318,11 +318,29 @@ def load_janus_checkpoint(
     `finetune_path` points at a `trainable_model_parameters.pth` partial state
     dict (reference save format, base_system.py:166-189); its entries override
     the base weights (strict=False load semantics, base_system.py:158-162).
+    The reference saves those payloads from the SYSTEM module's
+    named_parameters() where the VLM is `self.vl_gpt` (plangen_base.py:104),
+    so real checkpoints carry a `vl_gpt.` key prefix that the HF base state
+    dict lacks — it is stripped here; unmatched leftovers (peft wrappers,
+    renamed keys) are reported, not silently dropped.
     """
     sd = _read_checkpoint_dir(janus_path)
     if finetune_path:
         import torch
 
         overlay = torch.load(finetune_path, map_location="cpu")
-        sd = {**sd, **overlay}
+        overlay = {
+            (k[len("vl_gpt."):] if k.startswith("vl_gpt.") else k): v
+            for k, v in overlay.items()
+        }
+        unmatched = sorted(k for k in overlay if k not in sd)
+        if unmatched:
+            import sys
+
+            sys.stderr.write(
+                f"load_janus_checkpoint: {len(unmatched)} overlay keys "
+                f"match no base weight (first: {unmatched[0]}) — skipped, "
+                "per strict=False semantics\n"
+            )
+        sd = {**sd, **{k: v for k, v in overlay.items() if k in sd}}
     return convert_state_dict(sd, cfg, dtype=dtype)

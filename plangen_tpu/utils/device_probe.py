@@ -107,6 +107,16 @@ def probe_device_info(
             "error": " | ".join(tail) or f"exit code {r.returncode}",
             "seconds": round(time.time() - t0, 1),
         }
-    info = json.loads(r.stdout.strip().splitlines()[-1])
+    try:
+        info = json.loads(r.stdout.strip().splitlines()[-1])
+    except (IndexError, ValueError):
+        # exit 0 but empty/non-JSON stdout (plugin chatter after the JSON
+        # line, or a silently-swallowed dispatch) — diagnose, don't crash
+        tail = (r.stdout or "").strip()[-120:]
+        return {
+            "ok": False,
+            "error": f"unparseable probe output: {tail!r}",
+            "seconds": round(time.time() - t0, 1),
+        }
     ok = info.pop("value", None) == 8.0  # 8x8 ones @ ones -> every entry 8
     return {"ok": ok, **info}

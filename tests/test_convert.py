@@ -415,13 +415,21 @@ class TestJaxToTorchExport:
         params = convert_state_dict(rand_sd, tiny, dtype=np.float32)
         full = export_state_dict(params, tiny)
         s1 = export_trainable_state_dict(params, tiny, "stage1")
-        assert s1 and set(s1) < set(full)
-        assert all(k.startswith(("aligner.", "gen_aligner.", "gen_head."))
-                   for k in s1)
+        # the reference saves from System.named_parameters() where the VLM
+        # is self.vl_gpt (base_system.py:188-189, plangen_base.py:104) —
+        # bare HF names would match ZERO keys in its strict=False reload
+        assert s1 and all(k.startswith("vl_gpt.") for k in s1)
+        stripped = {k[len("vl_gpt."):] for k in s1}
+        assert stripped < set(full)
+        assert all(k.startswith(("vl_gpt.aligner.", "vl_gpt.gen_aligner.",
+                                 "vl_gpt.gen_head.")) for k in s1)
         s3 = export_trainable_state_dict(params, tiny, "stage3")
-        assert not any(k.startswith("gen_vision_model.") for k in s3)
-        assert any(k.startswith("language_model.") for k in s3)
-        assert any(k.startswith("vision_model.") for k in s3)
+        assert not any(k.startswith("vl_gpt.gen_vision_model.") for k in s3)
+        assert any(k.startswith("vl_gpt.language_model.") for k in s3)
+        assert any(k.startswith("vl_gpt.vision_model.") for k in s3)
+        # prefix="" gives bare HF names for direct HF-model overlays
+        bare = export_trainable_state_dict(params, tiny, "stage1", prefix="")
+        assert set(bare) == stripped
         with pytest.raises(ValueError, match="tuning_mode"):
             export_trainable_state_dict(params, tiny, "nope")
 
@@ -439,7 +447,11 @@ class TestJaxToTorchExport:
             params["aligner"]["layers"][0]["w"] * 2.0
         )
         overlay = export_trainable_state_dict(params, tiny, "stage1")
-        merged = {**rand_sd, **overlay}
+        # keys arrive vl_gpt.-prefixed (reference System naming); the
+        # loader strips the prefix before merging — emulate that here,
+        # end-to-end coverage in test_finetune_overlay_via_loader below
+        merged = {**rand_sd, **{k[len("vl_gpt."):]: v
+                                for k, v in overlay.items()}}
         re = convert_state_dict(merged, tiny, dtype=np.float32)
         np.testing.assert_array_equal(
             re["aligner"]["layers"][0]["w"],
@@ -487,7 +499,69 @@ class TestJaxToTorchExport:
             for k in out
         )
         toks = export_trainable_state_dict(with_lora, tiny, "lora_tokens")
-        assert "language_model.model.embed_tokens.weight" in toks
+        assert "vl_gpt.language_model.model.embed_tokens.weight" in toks
+
+    def test_finetune_overlay_via_loader(self, tiny, rand_sd, tmp_path):
+        # END-TO-END: cli-export trainable payload -> load_janus_checkpoint
+        # finetune_path overlay, exercising the vl_gpt. strip the real
+        # reference checkpoints require (base_system.py:188, :153-154)
+        from safetensors.numpy import save_file
+
+        from plangen_tpu.convert.jax_to_torch import (
+            export_trainable_state_dict,
+            save_torch_state_dict,
+        )
+        from plangen_tpu.convert.torch_to_jax import (
+            convert_state_dict,
+            load_janus_checkpoint,
+        )
+
+        base_dir = tmp_path / "janus"
+        base_dir.mkdir()
+        save_file({k: np.ascontiguousarray(v) for k, v in rand_sd.items()},
+                  str(base_dir / "model.safetensors"))
+
+        params = convert_state_dict(rand_sd, tiny, dtype=np.float32)
+        params["aligner"]["layers"][0]["w"] = (
+            params["aligner"]["layers"][0]["w"] * 3.0
+        )
+        overlay = export_trainable_state_dict(params, tiny, "stage1")
+        assert all(k.startswith("vl_gpt.") for k in overlay)
+        ft = save_torch_state_dict(overlay, str(tmp_path / "trainable.pth"))
+
+        re = load_janus_checkpoint(str(base_dir), tiny, finetune_path=ft,
+                                   dtype=np.float32)
+        np.testing.assert_array_equal(
+            re["aligner"]["layers"][0]["w"],
+            params["aligner"]["layers"][0]["w"],
+        )
+        # untouched weights come from the base
+        np.testing.assert_array_equal(
+            re["language_model"]["layers"]["q_proj"],
+            params["language_model"]["layers"]["q_proj"],
+        )
+
+    def test_finetune_overlay_skips_unknown_keys(self, tiny, rand_sd,
+                                                 tmp_path, capsys):
+        # peft wrapper leftovers / renamed keys in a real payload must not
+        # crash the converter — skipped with a visible diagnostic
+        import torch
+
+        from safetensors.numpy import save_file
+
+        from plangen_tpu.convert.torch_to_jax import load_janus_checkpoint
+
+        base_dir = tmp_path / "janus"
+        base_dir.mkdir()
+        save_file({k: np.ascontiguousarray(v) for k, v in rand_sd.items()},
+                  str(base_dir / "model.safetensors"))
+        ft = str(tmp_path / "trainable.pth")
+        torch.save({"vl_gpt.base_model.model.lora_A.weight":
+                    torch.zeros(2, 2)}, ft)
+        re = load_janus_checkpoint(str(base_dir), tiny, finetune_path=ft,
+                                   dtype=np.float32)
+        assert "language_model" in re
+        assert "overlay keys" in capsys.readouterr().err
 
     def test_quantized_tree_refused(self, tiny, rand_sd):
         from plangen_tpu.convert.jax_to_torch import export_state_dict
