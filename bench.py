@@ -1,9 +1,14 @@
 """Headline benchmark: the BASELINE.json metric set on one chip.
 
-Measures, on full Janus-Pro-1B dims in bf16 on the default device:
+Measures, on full Janus-Pro-1B dims on the default device:
 
-  1. image-tokens/sec/chip — 576-token 384px CFG generation at batch 32
-     (headline `value`; the fused prefill + lax.scan decode program)
+  1. image-tokens/sec/chip — 576-token 384px CFG generation (headline
+     `value`; the fused prefill + lax.scan decode program). The headline
+     is CONFIG-STABLE: with no env overrides it re-measures the committed
+     sweep's best config (BENCH_SWEEP.json rows, today int8-KV B=64) so
+     BENCH_r{N}.json trends compare like against like; BENCH_INT*/
+     BENCH_BATCH/BENCH_MODEL pin an explicit config instead
+     (`headline_config.source` records which applied).
   2. e2e p50 latency/image at B=1 — prompt embeds -> 576-step decode ->
      VQ detokenize -> host pixels (the reference's per-image serving path:
      sample_image + vq decode, plangen_base.py:567-607 + vq_model.py:127-214)
@@ -158,6 +163,31 @@ SWEEP_CONFIGS = [
     ("int4_a8", "int4_a8", True),
 ]
 SWEEP_BATCHES = (1, 32, 64)
+_SWEEP_MODES = {name: (wmode, kv) for name, wmode, kv in SWEEP_CONFIGS}
+
+
+def _committed_sweep_best():
+    """Best measured decode row from the committed BENCH_SWEEP.json, or None.
+
+    The round artifact's headline must be CONFIG-STABLE: plain
+    `python bench.py` re-measures the committed sweep's best config (today
+    int8-KV B=64) instead of whatever the env happens to select, so the
+    cross-round BENCH_r{N}.json trend compares like against like. Env
+    knobs (BENCH_INT*/BENCH_BATCH/BENCH_MODEL) still override for ad-hoc
+    probing — those runs are labelled `headline_source: env`.
+    """
+    sweep_path = Path(__file__).parent / "BENCH_SWEEP.json"
+    if not sweep_path.exists():
+        return None
+    try:
+        rows = json.loads(sweep_path.read_text()).get("rows", [])
+        rows = [r for r in rows if r.get("config") in _SWEEP_MODES
+                and r.get("tokens_per_sec")]
+        if not rows:
+            return None
+        return max(rows, key=lambda r: r["tokens_per_sec"])
+    except Exception:
+        return None
 
 
 def _sweep_batches():
@@ -169,6 +199,32 @@ def _sweep_batches():
     if not env:
         return SWEEP_BATCHES
     return tuple(int(b) for b in env.split(","))
+
+
+def resolve_headline(env, env_wmode, env_batch):
+    """(wmode, quantized_cache, batch, source) for the headline run.
+
+    Any explicit BENCH_* selection wins (ad-hoc probing); otherwise the
+    committed sweep's best measured config is re-measured so the headline
+    stays config-stable across rounds.
+    """
+    quantized_cache = env.get("BENCH_INT8_KV") == "1"
+    pinned = (
+        env_wmode is not None
+        or quantized_cache
+        or any(e in env for e in ("BENCH_BATCH", "BENCH_MODEL",
+                                  "BENCH_GROWING"))
+    )
+    if not pinned:
+        best_row = _committed_sweep_best()
+        if best_row is not None:
+            wmode, kv = _SWEEP_MODES[best_row["config"]]
+            B = int(best_row["batch"])
+            return wmode, kv, B, (
+                f"committed sweep best ({best_row['config']} B={B}, "
+                f"{best_row['tokens_per_sec']} tok/s) — re-measured now"
+            )
+    return env_wmode, quantized_cache, env_batch, "env"
 
 
 def _init_quantized_params(cfg, key, wmode):
@@ -435,8 +491,10 @@ def main() -> None:
         wmode = "int8"
     else:
         wmode = None
+    wmode, quantized_cache, B, headline_source = resolve_headline(
+        os.environ, wmode, B
+    )
     params = _init_quantized_params(cfg, key, wmode)
-    quantized_cache = os.environ.get("BENCH_INT8_KV") == "1"
 
     from functools import partial
 
@@ -573,11 +631,17 @@ def main() -> None:
         "metric": "image-tokens/sec/chip (576-tok 384px gen, CFG dual batch)",
         "value": round(tokens_per_sec, 2),
         "unit": "tokens/s",
+        "headline_config": {
+            "weights": wmode or "bf16",
+            "kv_cache": "int8" if quantized_cache else "bf16",
+            "batch": B,
+            "source": headline_source,
+        },
         "vs_baseline": round(tokens_per_sec / REF_TOKENS_PER_SEC, 2),
         "vs_baseline_note": (
             "ESTIMATE: reference publishes no numbers; 34 tok/s is a "
-            "B=1 RTX-3090 estimate (see bench.py docstring), and the "
-            "headline value is B=32 batch throughput"
+            f"B=1 RTX-3090 estimate (see bench.py docstring), and the "
+            f"headline value is B={B} batch throughput"
         ),
         "s_per_step": round(s_step, 6),
         "hbm_floor_s_per_step": round(floor, 6),
@@ -598,6 +662,14 @@ def main() -> None:
                 for k in ("config", "batch", "tokens_per_sec",
                           "pct_of_hbm_floor")
             }
+            bf16_row = next(
+                (r for r in rows
+                 if r.get("config") == "bf16" and r.get("batch") == 32), None)
+            if bf16_row:
+                record["bf16_b32_committed"] = {
+                    k: bf16_row.get(k)
+                    for k in ("tokens_per_sec", "pct_of_hbm_floor")
+                }
             record["sweep_file"] = "BENCH_SWEEP.json (committed)"
         except Exception:
             pass

@@ -75,3 +75,35 @@ class TestHbmFloor:
             PlanGenModelConfig(), 32, "bf16", False, True, 64
         )
         assert 0.008 < f < 0.011, f
+
+
+class TestHeadlineResolution:
+    """VERDICT r4 #2: plain `python bench.py` must re-measure the committed
+    sweep's best config so BENCH_r{N}.json trends are config-stable."""
+
+    def test_default_adopts_committed_sweep_best(self, bench):
+        import json
+
+        rows = json.loads((REPO / "BENCH_SWEEP.json").read_text())["rows"]
+        best = max((r for r in rows if r.get("tokens_per_sec")),
+                   key=lambda r: r["tokens_per_sec"])
+        w, kv, B, src = bench.resolve_headline({}, None, 32)
+        assert B == best["batch"]
+        assert (w, kv) == bench._SWEEP_MODES[best["config"]]
+        assert src.startswith("committed sweep best")
+
+    def test_env_pins_override(self, bench):
+        assert bench.resolve_headline({"BENCH_BATCH": "8"}, None, 8) == (
+            None, False, 8, "env")
+        assert bench.resolve_headline({"BENCH_INT8_KV": "1"}, None, 32) == (
+            None, True, 32, "env")
+        assert bench.resolve_headline({}, "int4", 32) == (
+            "int4", False, 32, "env")
+        assert bench.resolve_headline({"BENCH_MODEL": "7b"}, None, 16) == (
+            None, False, 16, "env")
+
+    def test_sweep_best_is_a_real_row(self, bench):
+        row = bench._committed_sweep_best()
+        assert row is not None
+        assert row["config"] in bench._SWEEP_MODES
+        assert row["tokens_per_sec"] > 4000  # the repo's own best number
