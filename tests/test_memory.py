@@ -1,0 +1,101 @@
+"""Compile-time memory accounting (utils/memory.py) + the bench_train
+build_mode it instruments.
+
+VERDICT r4 #4: runtime `memory_stats()` returns {} on axon, so every
+fits/OOM claim was prose. `compiled.memory_analysis()` is the compile-time
+replacement — these tests pin its contract on the CPU backend (same JAX
+API surface) and the NaN regression that tiny-config synthetic batches
+used to hit (ids sampled past the tiny vocab).
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plangen_tpu.utils.memory import analyze_compiled, lower_and_analyze
+
+REPO = Path(__file__).parent.parent
+
+
+def test_lower_and_analyze_reports_bytes_and_executes():
+    @jax.jit
+    def f(x, y):
+        return x @ y + 1.0
+
+    x = jnp.ones((128, 256), jnp.float32)
+    y = jnp.ones((256, 64), jnp.float32)
+    compiled, mem = lower_and_analyze(f, x, y)
+    # CPU backend exposes memory_analysis; the contract is the GB breakdown
+    assert mem is not None
+    for k in ("argument_size_gb", "output_size_gb", "temp_size_gb",
+              "total_gb"):
+        assert k in mem and mem[k] >= 0.0
+    # arguments: 128*256*4 + 256*64*4 bytes — round-tripped through GB
+    arg_gb = (128 * 256 * 4 + 256 * 64 * 4) / 2**30
+    assert mem["argument_size_gb"] == round(arg_gb, 3)
+    # the compiled object must execute like the jitted original
+    np.testing.assert_array_equal(np.asarray(compiled(x, y)),
+                                  np.asarray(f(x, y)))
+
+
+def test_donated_args_counted_once_via_alias():
+    """Donated inputs alias outputs; total_gb must subtract the alias so a
+    donated train state isn't double-counted (the accounting the OOM claims
+    rely on)."""
+
+    @jax.jit
+    def grow(x):
+        return x * 2.0
+
+    donating = jax.jit(lambda x: x * 2.0, donate_argnums=(0,))
+    x = jnp.ones((1024, 1024), jnp.float32)  # 4 MB
+    plain = lower_and_analyze(grow, x)[1]
+    donated = lower_and_analyze(donating, x)[1]
+    assert donated["alias_size_gb"] >= plain["alias_size_gb"]
+    assert donated["total_gb"] <= plain["total_gb"]
+
+
+def test_analyze_compiled_handles_missing_backend_support():
+    class NoStats:
+        def memory_analysis(self):
+            raise NotImplementedError
+
+    class NoneStats:
+        def memory_analysis(self):
+            return None
+
+    assert analyze_compiled(NoStats()) is None
+    assert analyze_compiled(NoneStats()) is None
+
+
+@pytest.fixture(scope="module")
+def bench_train():
+    sys.path.insert(0, str(REPO / "tools"))
+    spec = importlib.util.spec_from_file_location(
+        "bench_train", REPO / "tools" / "bench_train.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("bench_train", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_build_mode_tiny_finite_loss(bench_train):
+    """Regression: synthetic ids were sampled in [3, 1000) regardless of
+    vocab, so tiny configs (vocab 512) gathered OOB embeddings and every
+    flow's loss went NaN. build_mode must produce finite losses on the
+    tiny config, via the same AOT path bench_train times."""
+    from plangen_tpu.config import PlanGenModelConfig
+
+    cfg = PlanGenModelConfig.tiny()
+    shapes = (2, 2, 1, 16, True, "bfloat16", False, False)
+    step, state, batches, _ = bench_train.build_mode("stage3", cfg, shapes)
+    compiled, mem = lower_and_analyze(step, state, batches)
+    assert mem is not None and mem["total_gb"] >= 0.0
+    _, metrics = compiled(state, batches)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"

@@ -43,7 +43,10 @@ def _lm_param_count(cfg) -> int:
     return lm.num_layers * layer
 
 
-def bench_mode(mode: str, cfg, shapes) -> dict:
+def build_mode(mode: str, cfg, shapes):
+    """(step, state, batches) for one tuning mode at the given shapes —
+    shared by the timing bench below and tools/bench_memory.py's
+    compile-only byte accounting."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -81,6 +84,9 @@ def bench_mode(mode: str, cfg, shapes) -> dict:
     del params
 
     k = jax.random.PRNGKey(1)
+    # cap synthetic ids to the actual vocab — OOB ids gather garbage
+    # embeddings and the loss goes NaN (bites tiny test configs, vocab 512)
+    hi = min(1000, cfg.llama.vocab_size)
     # mmu text length: prompt + 576 image-placeholder slots (reference caps
     # max_seq_len + 576, plangen_base.py:862-870)
     mmu_len = L + n_img
@@ -88,14 +94,14 @@ def bench_mode(mode: str, cfg, shapes) -> dict:
     seq_mask[:, 8 : 8 + n_img] = True
     batches = {
         0: {
-            "input_ids": jax.random.randint(k, (uni_bs, L), 3, 1000),
+            "input_ids": jax.random.randint(k, (uni_bs, L), 3, hi),
             "attn_mask": jnp.ones((uni_bs, L + n_img), dtype=jnp.int32),
             "images": jax.random.uniform(
                 k, (uni_bs, size, size, 3), minval=-1.0, maxval=1.0
             ),
         },
         1: {
-            "input_ids": jax.random.randint(k, (mmu_bs, mmu_len), 3, 1000),
+            "input_ids": jax.random.randint(k, (mmu_bs, mmu_len), 3, hi),
             "attn_mask": jnp.ones((mmu_bs, mmu_len), dtype=jnp.int32),
             "images": jax.random.uniform(
                 k, (mmu_bs, size, size, 3), minval=-1.0, maxval=1.0
@@ -103,22 +109,39 @@ def bench_mode(mode: str, cfg, shapes) -> dict:
             "images_seq_mask": jnp.asarray(seq_mask),
         },
         2: {
-            "input_ids": jax.random.randint(k, (plan_bs, L), 3, 1000),
+            "input_ids": jax.random.randint(k, (plan_bs, L), 3, hi),
             "attn_mask": jnp.ones((plan_bs, L), dtype=jnp.int32),
         },
     }
+    return step, state, batches, tcfg
+
+
+def bench_mode(mode: str, cfg, shapes) -> dict:
+    import numpy as np
+
+    uni_bs, mmu_bs, plan_bs, L, remat, master, use_flash, fused_ce = shapes
+    n_img = cfg.image_seq_len
+    mmu_len = L + n_img
+    step, state, batches, tcfg = build_mode(mode, cfg, shapes)
+
+    # AOT lower+compile: memory_analysis() gives the executable's real
+    # byte footprint (memory_stats() is dead on axon — returns {}), and the
+    # compiled object then executes directly, so this costs no extra compile
+    from plangen_tpu.utils.memory import lower_and_analyze
 
     t0 = time.perf_counter()
-    state, metrics = step(state, batches)
-    loss = float(metrics["loss"])
+    compiled, mem = lower_and_analyze(step, state, batches)
     compile_s = time.perf_counter() - t0
-    print(f"[{mode}] compile+first step {compile_s:.1f}s loss={loss:.3f}",
-          flush=True)
+    state, metrics = compiled(state, batches)
+    loss = float(metrics["loss"])
+    first_s = time.perf_counter() - t0 - compile_s
+    print(f"[{mode}] compile {compile_s:.1f}s + first step {first_s:.1f}s "
+          f"loss={loss:.3f} mem={mem and mem.get('total_gb')}GB", flush=True)
     assert np.isfinite(loss)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        state, metrics = step(state, batches)
+        state, metrics = compiled(state, batches)
         _ = float(metrics["loss"])  # host sync
         times.append(time.perf_counter() - t0)
     sec = min(times)
@@ -131,11 +154,6 @@ def bench_mode(mode: str, cfg, shapes) -> dict:
     # fwd 2NT + bwd 4NT, +2NT fwd recompute under remat
     flops = (8 if remat else 6) * n_lm * lm_tokens
     floor_s = flops / V5E_BF16_FLOPS
-    try:
-        mem = jax.local_devices()[0].memory_stats() or {}
-        mem_gb = round(mem.get("bytes_in_use", 0) / 2 ** 30, 2)
-    except Exception:
-        mem_gb = None
     return {
         "mode": mode,
         "optimizer": tcfg.optim.optimizer,
@@ -148,7 +166,9 @@ def bench_mode(mode: str, cfg, shapes) -> dict:
         "samples_per_sec": round(total_samples / sec, 2),
         "lm_tokens_per_sec": round(lm_tokens / sec, 1),
         "steps_per_day_k": round(86400 / sec / 1000, 1),
-        "device_mem_gb": mem_gb,
+        # compiled.memory_analysis() breakdown (GB): total = args + outputs
+        # + temps - aliased (donated state counted once)
+        "memory": mem,
         "compute_floor_ms": round(floor_s * 1e3, 1),
         "pct_of_compute_floor": round(100.0 * floor_s / sec, 1),
         "compile_s": round(compile_s, 1),
