@@ -358,6 +358,10 @@ class TrainConfig:
     lora_alpha: int = 128
     tune_token_when_lora: bool = True
     gradient_checkpointing: bool = False
+    remat_policy: str = "full"  # what jax.checkpoint saves when
+    # gradient_checkpointing is on: "full" = layer inputs only (max memory
+    # saving, recomputes the layer in the backward), "dots" = keep matmul
+    # outputs (near-zero recompute, costs activation memory) — ops/remat.py
     use_flash_attention: bool = False  # Pallas flash kernel in training forwards
     fused_lm_ce: bool = False  # chunked lm_head CE: ~10x lower activation peak,
     # one extra lm_head matmul in the backward (measured ~8% slower at the

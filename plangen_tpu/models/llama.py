@@ -393,7 +393,8 @@ def forward(
     positions: Optional[jax.Array] = None,  # [Q] absolute query positions
     kv_cache: Optional[KVCache] = None,  # cache dict (see runtime.kvcache)
     write_at=None,  # scalar cache write offset (== positions[0])
-    remat: bool = False,  # rematerialize each layer (training memory saver)
+    remat=False,  # bool | policy str ("full"/"dots"/...): rematerialize each
+    # layer in the backward (training memory saver; ops/remat.py)
     use_flash: bool = False,  # Pallas flash attention for the no-cache path
     chunked: bool = False,  # cached decode reads only the valid cache prefix
     paged: bool = False,  # Pallas prefix-DMA decode attention
@@ -489,8 +490,9 @@ def forward(
             )
             return x, None
 
-        if remat:
-            body = jax.checkpoint(body)
+        from plangen_tpu.ops.remat import wrap_remat
+
+        body = wrap_remat(body, remat)
         x, _ = jax.lax.scan(body, inputs_embeds, (layers, lora_xs))
         out_cache = None
     else:

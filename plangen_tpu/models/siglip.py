@@ -134,7 +134,7 @@ def forward(
     cfg: SigLIPConfig,
     images: jax.Array,
     use_flash: bool = False,
-    remat: bool = False,
+    remat=False,  # bool | policy str (ops/remat.py)
 ) -> jax.Array:
     """images: [B, H, W, 3] (NHWC, CLIP-normalized) -> features [B, N, width]."""
     x = jax.lax.conv_general_dilated(
@@ -157,7 +157,8 @@ def forward(
     def body(x, layer_p):
         return _block(layer_p, cfg, x, use_flash=use_flash), None
 
-    if remat:
-        body = jax.checkpoint(body)
+    from plangen_tpu.ops.remat import wrap_remat
+
+    body = wrap_remat(body, remat)
     x, _ = jax.lax.scan(body, x, layers)
     return layer_norm(x, params["final_norm"], cfg.layer_norm_eps)

@@ -119,24 +119,38 @@ def t2i_loss(
     pad_id: int,
     is_uni: bool = True,
     local_edit_region: jax.Array | None = None,  # [B, N] optional loss mask
-    remat: bool = False,
+    remat=False,
     use_flash: bool = False,
     fused_ce: bool = False,
+    ablate: frozenset = frozenset(),  # DIAGNOSTIC ONLY (tools/
+    # bench_train_budget.py): "vq" skips the VQ encoder (constant labels),
+    # "heads" replaces head+CE with mean(hidden). Losses are numerically
+    # meaningless under any ablation.
 ) -> Dict[str, jax.Array]:
     """Image-generation loss (reference forward_t2i, plangen_base.py:909-972)."""
     B, L = input_ids.shape
     n_img = cfg.image_seq_len
 
-    # VQ-encode GT image to token ids (no grad; VQ frozen in stage3)
-    vq_ids = jax.lax.stop_gradient(
-        vq.encode_to_indices(params["gen_vision_model"], cfg.vq, images)
-    )  # [B, N]
+    if "vq" in ablate:
+        vq_ids = jnp.zeros((B, n_img), dtype=jnp.int32)
+    else:
+        # VQ-encode GT image to token ids (no grad; VQ frozen in stage3)
+        vq_ids = jax.lax.stop_gradient(
+            vq.encode_to_indices(params["gen_vision_model"], cfg.vq, images)
+        )  # [B, N]
 
     text_embeds = vlm.embed_text(params, input_ids)
     img_embeds = vlm.gen_img_embeds(params, vq_ids).astype(text_embeds.dtype)
     embeds = jnp.concatenate([text_embeds, img_embeds], axis=1)  # [B, L+N]
 
     hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash)
+
+    if "heads" in ablate:
+        # surrogate keeps the LM fwd+bwd alive, kills gen_head/lm_head + CE
+        surrogate = jnp.mean(hidden.astype(jnp.float32))
+        if not is_uni:
+            return {"loss_t2i": surrogate}
+        return {"loss_uni_t2i": surrogate, "loss_uni_lm": surrogate}
 
     # image head over the last N+1 positions; labels [0, vq_ids]
     img_hidden = hidden[:, -(n_img + 1) :]
@@ -161,10 +175,10 @@ def t2i_loss(
 
 
 def uni_loss(params, cfg, input_ids, attn_mask, images, pad_id, remat=False,
-             use_flash=False, fused_ce=False):
+             use_flash=False, fused_ce=False, ablate=frozenset()):
     return t2i_loss(
         params, cfg, input_ids, attn_mask, images, pad_id, is_uni=True,
-        remat=remat, use_flash=use_flash, fused_ce=fused_ce,
+        remat=remat, use_flash=use_flash, fused_ce=fused_ce, ablate=ablate,
     )
 
 
@@ -176,17 +190,24 @@ def mmu_loss(
     images: jax.Array,  # [B, H, W, 3]
     images_seq_mask: jax.Array,  # [B, L] bool
     pad_id: int,
-    remat: bool = False,
+    remat=False,
     use_flash: bool = False,
     fused_ce: bool = False,
+    ablate: frozenset = frozenset(),  # DIAGNOSTIC ONLY: "siglip" skips the
+    # vision tower + aligner (text embeds everywhere), "heads" as in t2i_loss
 ) -> Dict[str, jax.Array]:
     """Understanding loss (reference forward_mmu, plangen_base.py:843-892):
     LM CE over the spliced sequence; image-placeholder ids -> pad (ignored)."""
-    embeds = vlm.prepare_inputs_embeds(
-        params, cfg, input_ids, images, images_seq_mask,
-        use_flash=use_flash, remat=remat,
-    )
+    if "siglip" in ablate:
+        embeds = vlm.embed_text(params, input_ids)  # same [B, L, H] shape
+    else:
+        embeds = vlm.prepare_inputs_embeds(
+            params, cfg, input_ids, images, images_seq_mask,
+            use_flash=use_flash, remat=remat,
+        )
     hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash)
+    if "heads" in ablate:
+        return {"loss_mmu": jnp.mean(hidden.astype(jnp.float32))}
     labels = jnp.where(images_seq_mask, pad_id, input_ids)
     return {"loss_mmu": _lm_shift_ce(params, hidden, labels, pad_id, fused=fused_ce)}
 
@@ -197,12 +218,15 @@ def plan_loss(
     input_ids: jax.Array,  # [B, L] text-only uni prompt
     attn_mask: jax.Array,  # [B, L]
     pad_id: int,
-    remat: bool = False,
+    remat=False,
     use_flash: bool = False,
     fused_ce: bool = False,
+    ablate: frozenset = frozenset(),  # DIAGNOSTIC ONLY: "heads" as above
 ) -> Dict[str, jax.Array]:
     """Planning loss (reference forward_plan -> forward_mmu(is_plan=True))."""
     embeds = vlm.embed_text(params, input_ids)
     hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash)
+    if "heads" in ablate:
+        return {"loss_plan_lm": jnp.mean(hidden.astype(jnp.float32))}
     return {"loss_plan_lm": _lm_shift_ce(params, hidden, input_ids, pad_id,
                                          fused=fused_ce)}

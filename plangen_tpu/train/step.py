@@ -40,19 +40,16 @@ def _cast(tree, dtype):
     )
 
 
-def make_train_step(
+def make_loss_fn(
     model_cfg: PlanGenModelConfig,
     train_cfg: TrainConfig,
-    tx: optax.GradientTransformation,
     pad_id: int,
     flows: Sequence[Tuple[int, str]],  # (flow_id, task_type)
     compute_dtype=jnp.bfloat16,
-    donate: bool = True,
-    state_shardings: Optional[TrainState] = None,
-    # TrainState of NamedShardings (e.g. FSDP) to pin the output state layout;
-    # without it jit may re-replicate sharded parameters after the update
+    trainable_mask: Optional[Any] = None,
+    ablate: frozenset = frozenset(),
 ) -> Callable:
-    """Build the jitted multi-task train step.
+    """Build `loss_fn(params, batches) -> (total, loss_dict)`.
 
     Batch format per flow (all arrays, data-sharded on dim 0):
       uni/t2i: {input_ids [B,L], attn_mask [B,L+N], images [B,H,W,3]}
@@ -62,16 +59,34 @@ def make_train_step(
     Loss weighting matches reference forward (plangen_base.py:1077-1084):
     per-key `loss_scales[f"{key}_{flow_id}"]` then `plan_lr_scale` on every
     '*lm*' key.
+
+    `trainable_mask` (make_optimizer's bool pytree) enables freeze-aware
+    backward: frozen leaves are wrapped in stop_gradient so XLA dead-codes
+    their weight-gradient matmuls (and, for frozen towers with nothing
+    trainable upstream — SigLIP in stage1 — the whole tower backward).
+    Numerically identical to the unmasked step: those grads were zeroed by
+    optim.py's set_to_zero anyway (tests/test_train.py pins equality).
+
+    `ablate` is DIAGNOSTIC ONLY (tools/bench_train_budget.py): "vq",
+    "siglip", "heads" per train/loss.py.
     """
     flows = tuple(flows)
     scales = dict(train_cfg.loss_scales)
     plan_lr_scale = train_cfg.plan_lr_scale
     remat = train_cfg.gradient_checkpointing
+    if remat:
+        # named policy ("full" = plain jax.checkpoint) — ops/remat.py
+        remat = getattr(train_cfg, "remat_policy", "full")
     use_flash = getattr(train_cfg, "use_flash_attention", False)
     fused_ce = getattr(train_cfg, "fused_lm_ce", False)
     use_local_edit_loss = getattr(train_cfg, "use_local_edit_loss", False)
 
     def loss_fn(params, batches):
+        if trainable_mask is not None:
+            params = jax.tree_util.tree_map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p),
+                params, trainable_mask,
+            )
         cparams = _cast(params, compute_dtype)
         loss_dict: Dict[str, jax.Array] = {}
         for flow_id, task in flows:
@@ -94,6 +109,7 @@ def make_train_step(
                     remat=remat,
                     use_flash=use_flash,
                     fused_ce=fused_ce,
+                    ablate=ablate,
                 )
             elif task == "mmu":
                 ld = mmu_loss(
@@ -107,6 +123,7 @@ def make_train_step(
                     remat=remat,
                     use_flash=use_flash,
                     fused_ce=fused_ce,
+                    ablate=ablate,
                 )
             elif task == "plan":
                 ld = plan_loss(
@@ -118,6 +135,7 @@ def make_train_step(
                     remat=remat,
                     use_flash=use_flash,
                     fused_ce=fused_ce,
+                    ablate=ablate,
                 )
             else:
                 raise ValueError(f"unknown task type {task!r}")
@@ -131,6 +149,32 @@ def make_train_step(
             loss_dict[k] = v
             total = total + v
         return total, loss_dict
+
+    return loss_fn
+
+
+def make_train_step(
+    model_cfg: PlanGenModelConfig,
+    train_cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    pad_id: int,
+    flows: Sequence[Tuple[int, str]],  # (flow_id, task_type)
+    compute_dtype=jnp.bfloat16,
+    donate: bool = True,
+    state_shardings: Optional[TrainState] = None,
+    # TrainState of NamedShardings (e.g. FSDP) to pin the output state layout;
+    # without it jit may re-replicate sharded parameters after the update
+    trainable_mask: Optional[Any] = None,  # freeze-aware backward (see
+    # make_loss_fn): pass make_optimizer's mask to skip frozen-subtree
+    # gradient work; numerically identical, strictly less compute
+    ablate: frozenset = frozenset(),  # DIAGNOSTIC ONLY (make_loss_fn)
+) -> Callable:
+    """Build the jitted multi-task train step (see make_loss_fn for batch
+    format and loss weighting)."""
+    loss_fn = make_loss_fn(
+        model_cfg, train_cfg, pad_id, flows, compute_dtype,
+        trainable_mask=trainable_mask, ablate=ablate,
+    )
 
     jit_kwargs = {}
     if state_shardings is not None:

@@ -127,6 +127,9 @@ class Trainer:
             pad_id=self.tokenizer.special.pad_id,
             flows=self.flows,
             state_shardings=state_shardings,
+            # freeze-aware backward: frozen subtrees contribute no gradient
+            # work (numerically identical — their grads were zeroed anyway)
+            trainable_mask=self.mask,
         )
 
         self.ckpt = PlanGenCheckpointer(

@@ -34,6 +34,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow  # ~7 min: two real OS processes + Gloo
 def test_two_process_ddp_matches_single_process(tmp_path):
     # no pytest-timeout in this env: the communicate(timeout=800) below is
     # the hang guard

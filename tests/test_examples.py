@@ -26,6 +26,7 @@ def _run(script, *args, timeout=300):
     )
 
 
+@pytest.mark.slow  # ~2 min: each example is a fresh interpreter
 class TestExamples:
     def test_generate(self, tmp_path):
         out = tmp_path / "gen.png"

@@ -29,6 +29,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow  # ~2 min: 4-stage subprocess runbook dry run
 def test_runbook_tiny_end_to_end(tmp_path):
     ckpt = tmp_path / "janus_tiny"
     make_random_fixture(ckpt, PlanGenModelConfig.tiny(), seed=0)

@@ -548,3 +548,95 @@ class TestValidationCadence:
 
         vdir = f"{tmp_path}/run/val/toy_plan_2"
         assert _os.path.isdir(vdir)
+
+
+class TestRematPolicy:
+    """VERDICT r5 lever: selective save policies (ops/remat.py) must be
+    numerically identical to full remat — they change WHAT the backward
+    saves, not what it computes."""
+
+    def _loss_and_grads(self, policy, remat=True):
+        from plangen_tpu.train.step import make_loss_fn
+
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        cfg = TrainConfig(gradient_checkpointing=remat, remat_policy=policy)
+        loss_fn = make_loss_fn(TINY, cfg, PAD, ((0, "uni"), (2, "plan")),
+                               compute_dtype=jnp.float32)
+        (loss, _), grads = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True)
+        )(params, make_batches())
+        return float(loss), grads
+
+    def test_dots_policy_matches_full(self):
+        l_full, g_full = self._loss_and_grads("full")
+        l_dots, g_dots = self._loss_and_grads("dots")
+        l_none, g_none = self._loss_and_grads("full", remat=False)
+        np.testing.assert_allclose(l_dots, l_full, rtol=1e-6)
+        np.testing.assert_allclose(l_none, l_full, rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                        jax.tree_util.tree_leaves(g_dots)):
+            # saved-vs-recomputed backward reassociates fp32 reductions —
+            # ulp-level drift only (measured max 3e-6 abs / 2e-4 rel)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_unknown_policy_rejected(self):
+        from plangen_tpu.ops.remat import wrap_remat
+
+        with pytest.raises(ValueError, match="unknown remat policy"):
+            wrap_remat(lambda x: x, "everything")
+
+
+class TestFreezeStopGrad:
+    """Freeze-aware backward (make_train_step trainable_mask): stop_gradient
+    on frozen leaves must leave the training trajectory EXACTLY unchanged —
+    frozen grads were already zeroed by optim.py's set_to_zero."""
+
+    @pytest.mark.parametrize("mode", ["stage1", "stage3", "lora"])
+    def test_two_steps_identical(self, mode):
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        if mode == "lora":
+            from plangen_tpu.train.lora import add_lora, init_lora
+
+            params = add_lora(
+                params, init_lora(jax.random.PRNGKey(2), TINY.llama,
+                                  rank=4, alpha=8))
+        cfg = TrainConfig(gradient_checkpointing=True)
+        batches = make_batches()
+        finals = {}
+        for use_mask in (False, True):
+            tx, mask = make_optimizer(cfg.optim, params, mode)
+            step = make_train_step(
+                TINY, cfg, tx, PAD, ((0, "uni"), (1, "mmu"), (2, "plan")),
+                compute_dtype=jnp.float32, donate=False,
+                trainable_mask=mask if use_mask else None,
+            )
+            state = init_train_state(params, tx)
+            for _ in range(2):
+                state, metrics = step(state, batches)
+            finals[use_mask] = (state.params, float(metrics["loss"]))
+        np.testing.assert_allclose(finals[True][1], finals[False][1],
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(finals[False][0]),
+                        jax.tree_util.tree_leaves(finals[True][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
+class TestTrainAblate:
+    """Diagnostic component ablations (tools/bench_train_budget.py) must
+    compile and step with finite losses; production steps never set them."""
+
+    def test_ablated_step_runs_finite(self):
+        params = vlm.init(KEY, TINY, dtype=jnp.float32)
+        cfg = TrainConfig(gradient_checkpointing=True)
+        tx, mask = make_optimizer(cfg.optim, params, "stage3")
+        step = make_train_step(
+            TINY, cfg, tx, PAD, ((0, "uni"), (1, "mmu"), (2, "plan")),
+            compute_dtype=jnp.float32, donate=False, trainable_mask=mask,
+            ablate=frozenset({"vq", "siglip", "heads"}),
+        )
+        state = init_train_state(params, tx)
+        state, metrics = step(state, make_batches())
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k

@@ -43,10 +43,15 @@ def _lm_param_count(cfg) -> int:
     return lm.num_layers * layer
 
 
-def build_mode(mode: str, cfg, shapes):
+def build_mode(mode: str, cfg, shapes, flows=None, ablate=frozenset(),
+               remat_policy=None, freeze_stop_grad=True):
     """(step, state, batches) for one tuning mode at the given shapes —
-    shared by the timing bench below and tools/bench_memory.py's
-    compile-only byte accounting."""
+    shared by the timing bench, tools/bench_memory.py's compile-only byte
+    accounting, and tools/bench_train_budget.py's component ablations.
+
+    `flows` restricts to a subset of ((id, task), ...) — batches are built
+    for those only. `ablate`/`remat_policy`/`freeze_stop_grad` mirror
+    make_train_step's diagnostics and levers."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -76,10 +81,15 @@ def build_mode(mode: str, cfg, shapes):
         optim=OptimConfig(optimizer=os.environ.get("TRAIN_OPT", "adamw")),
         gradient_checkpointing=remat, master_dtype=master,
         use_flash_attention=use_flash, fused_lm_ce=fused_ce,
+        remat_policy=remat_policy or os.environ.get("TRAIN_REMAT_POLICY",
+                                                    "full"),
     )
-    tx, _ = make_optimizer(tcfg.optim, params, mode)
-    flows = ((0, "uni"), (1, "mmu"), (2, "plan"))
-    step = make_train_step(cfg, tcfg, tx, pad_id=2, flows=flows)
+    tx, mask = make_optimizer(tcfg.optim, params, mode)
+    if flows is None:
+        flows = ((0, "uni"), (1, "mmu"), (2, "plan"))
+    step = make_train_step(cfg, tcfg, tx, pad_id=2, flows=flows,
+                           trainable_mask=mask if freeze_stop_grad else None,
+                           ablate=ablate)
     state = init_train_state(params, tx, master_dtype=getattr(jnp, master))
     del params
 
@@ -113,6 +123,7 @@ def build_mode(mode: str, cfg, shapes):
             "attn_mask": jnp.ones((plan_bs, L), dtype=jnp.int32),
         },
     }
+    batches = {fid: batches[fid] for fid, _ in flows}
     return step, state, batches, tcfg
 
 
