@@ -186,37 +186,46 @@ def cmd_export(args) -> None:
 
 def cmd_metrics(args) -> None:
     """FID/KID between two image directories (the gt_image/ and pr_image/
-    trees an eval run writes), over the framework's own SigLIP tower —
-    the built-in replacement for the reference's external-FID workflow
-    (SURVEY §4). Prints one JSON line."""
+    trees an eval run writes). Default feature model is the framework's own
+    SigLIP tower (zero-egress; relative comparison only); pass
+    `--features torch:<path>` (a TorchScript feature module, e.g. scripted
+    pytorch-fid InceptionV3) for literature-comparable numbers on weights
+    day. Prints one JSON line keyed by the feature model."""
     from plangen_tpu.tasks.image_metrics import (
-        SigLIPFeaturizer,
         fid_kid_from_features,
         load_image_dir,
+        make_featurizer,
     )
 
     cfg = load_config(args.cfg, args.opt)
-    # The featurizer only reads params["vision_model"] — load weights
-    # directly instead of build_pipeline, which would also pay the LM
-    # quantize/fusion jits and tokenizer load (minutes of remote compile
-    # on axon) for weights the metric never touches.
-    from plangen_tpu.convert.loading import load_params
+    params = None
+    if args.features == "siglip":
+        # The featurizer only reads params["vision_model"] — load weights
+        # directly instead of build_pipeline, which would also pay the LM
+        # quantize/fusion jits and tokenizer load (minutes of remote compile
+        # on axon) for weights the metric never touches.
+        from plangen_tpu.convert.loading import load_params
 
-    params = load_params(cfg)
-    if params is None:
-        import jax
-        import jax.numpy as jnp
+        params = load_params(cfg)
+        if params is None:
+            import jax
+            import jax.numpy as jnp
 
-        from plangen_tpu.models import vlm
+            from plangen_tpu.models import vlm
 
-        params = vlm.init(
-            jax.random.PRNGKey(cfg.generation.seed), cfg.model,
-            dtype=jnp.bfloat16,
-        )
-    feat = SigLIPFeaturizer(params, cfg.model, batch_size=args.batch)
+            params = vlm.init(
+                jax.random.PRNGKey(cfg.generation.seed), cfg.model,
+                dtype=jnp.bfloat16,
+            )
+    try:
+        feat, tag = make_featurizer(args.features, params, cfg.model,
+                                    batch_size=args.batch,
+                                    size=args.feature_size)
+    except (ValueError, RuntimeError, OSError) as e:
+        sys.exit(f"metrics: {e}")
     gt = feat(load_image_dir(args.gt_dir, limit=args.limit))
     pr = feat(load_image_dir(args.pr_dir, limit=args.limit))
-    print(json.dumps(fid_kid_from_features(gt, pr)))
+    print(json.dumps(fid_kid_from_features(gt, pr, tag=tag)))
 
 
 def cmd_doctor(args) -> None:
@@ -393,6 +402,14 @@ def main(argv=None) -> None:
     pm.add_argument("--batch", type=int, default=16)
     pm.add_argument("--limit", type=int, default=None,
                     help="cap images per side (sorted filename order)")
+    pm.add_argument("--features", default="siglip",
+                    help="'siglip' (default, relative-only) or "
+                         "'torch:<path>' — external TorchScript feature "
+                         "module (e.g. scripted pytorch-fid InceptionV3) "
+                         "for literature-comparable FID")
+    pm.add_argument("--feature-size", type=int, default=299,
+                    help="input resolution the torch: feature module "
+                         "expects (Inception pool3: 299)")
     pm.set_defaults(fn=cmd_metrics)
 
     px = sub.add_parser(

@@ -39,6 +39,8 @@ __all__ = [
     "frechet_distance",
     "kid_poly",
     "SigLIPFeaturizer",
+    "TorchScriptFeaturizer",
+    "make_featurizer",
     "fid_kid_from_features",
     "load_image_dir",
 ]
@@ -129,16 +131,18 @@ def kid_poly(
 
 
 def fid_kid_from_features(
-    gt_feats: np.ndarray, pr_feats: np.ndarray, kid_subsets: int = 100
+    gt_feats: np.ndarray, pr_feats: np.ndarray, kid_subsets: int = 100,
+    tag: str = "siglip",
 ) -> Dict[str, float]:
-    """Both metrics from two feature matrices; keys carry the feature model."""
+    """Both metrics from two feature matrices; keys carry the feature model
+    (`tag`) so an Inception-feature run is never mistaken for a SigLIP one."""
     mu1, s1 = feature_stats(gt_feats)
     mu2, s2 = feature_stats(pr_feats)
     kid_mean, kid_std = kid_poly(gt_feats, pr_feats, n_subsets=kid_subsets)
     return {
-        "fid_siglip": frechet_distance(mu1, s1, mu2, s2),
-        "kid_siglip": kid_mean,
-        "kid_siglip_std": kid_std,
+        f"fid_{tag}": frechet_distance(mu1, s1, mu2, s2),
+        f"kid_{tag}": kid_mean,
+        f"kid_{tag}_std": kid_std,
         "n_gt": float(len(gt_feats)),
         "n_pr": float(len(pr_feats)),
     }
@@ -204,6 +208,83 @@ class SigLIPFeaturizer:
                 chunk = np.concatenate([chunk, pad], axis=0)
             out.append(np.asarray(self._fn(self._vision_params, chunk))[:n])
         return np.concatenate(out, axis=0)
+
+
+class TorchScriptFeaturizer:
+    """Features from an EXTERNAL TorchScript module (CPU torch) — the
+    weights-day path to literature-comparable FID.
+
+    The zero-egress default (SigLIP) is honestly relative-only (module
+    docstring); the literature's numbers use InceptionV3 pool3 features.
+    When a feature checkpoint IS available, script it once
+
+        m = torch.jit.trace(feature_model.eval(), example_nchw)
+        m.save("inception_feats.pt")
+
+    (for pytorch-fid parity: their `InceptionV3([3])` wrapper, whose
+    forward returns pool3 features) and point `cli metrics --features
+    torch:<path>` at it. FID math on top is this module's exact
+    eigh-Fréchet — only the feature model changes.
+
+    Contract: module(float32 NCHW in [0,1] at --feature-size) -> [N, D];
+    tuple/list outputs take the first element; trailing 1x1 spatial dims
+    are squeezed (the pytorch-fid wrapper's output shape is [N,2048,1,1]).
+    """
+
+    def __init__(self, path: str, size: int = 299, batch_size: int = 16):
+        import torch
+
+        self._torch = torch
+        self.size = int(size)
+        self.batch = int(batch_size)
+        self.mod = torch.jit.load(path, map_location="cpu").eval()
+
+    def _unit_range(self, images: np.ndarray) -> np.ndarray:
+        """uint8 [0,255] or float [-1,1] -> float32 [0,1]."""
+        if images.dtype == np.uint8:
+            return images.astype(np.float32) / 255.0
+        x = np.asarray(images, np.float32)
+        return np.clip((x + 1.0) / 2.0, 0.0, 1.0)
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        torch = self._torch
+        x = self._unit_range(np.asarray(images))
+        if x.ndim != 4 or x.shape[-1] != 3:
+            raise ValueError(f"need [N, H, W, 3] images, got {x.shape}")
+        out = []
+        with torch.no_grad():
+            for s in range(0, len(x), self.batch):
+                t = torch.from_numpy(x[s : s + self.batch]).permute(0, 3, 1, 2)
+                if t.shape[-1] != self.size or t.shape[-2] != self.size:
+                    t = torch.nn.functional.interpolate(
+                        t, size=(self.size, self.size), mode="bilinear",
+                        align_corners=False,
+                    )
+                y = self.mod(t)
+                if isinstance(y, (tuple, list)):
+                    y = y[0]
+                y = y.reshape(y.shape[0], -1)  # squeeze [N,D,1,1] -> [N,D]
+                out.append(y.cpu().numpy().astype(np.float32))
+        return np.concatenate(out, axis=0)
+
+
+def make_featurizer(spec: str, params, model_cfg, batch_size: int = 16,
+                    size: int = 299):
+    """'siglip' (default, zero-egress) or 'torch:<path>' -> (featurizer,
+    tag). The tag lands in the metric keys (fid_<tag>) so reports are
+    self-describing about comparability."""
+    if spec == "siglip":
+        return SigLIPFeaturizer(params, model_cfg, batch_size=batch_size), \
+            "siglip"
+    if spec.startswith("torch:"):
+        path = spec[len("torch:"):]
+        return TorchScriptFeaturizer(path, size=size, batch_size=batch_size), \
+            "torchscript"
+    raise ValueError(
+        f"unknown --features {spec!r}; options: 'siglip' or 'torch:<path>' "
+        "(a TorchScript feature module, e.g. scripted pytorch-fid "
+        "InceptionV3 for literature-comparable numbers)"
+    )
 
 
 # ------------------------------------------------------------ directory mode

@@ -40,8 +40,9 @@ def test_runbook_tiny_end_to_end(tmp_path):
          "--cfg", "configs/toy_smoke.py",
          "--max-new-text-tokens", "6",
          "--eval-data", "toy", "--eval-task", "plan", "--eval-max-len", "1",
+         "--quant", "int8,int8_kv",
          "--workdir", str(workdir)],
-        cwd=REPO, capture_output=True, text=True, timeout=1500,
+        cwd=REPO, capture_output=True, text=True, timeout=1800,
     )
     assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-2000:])
 
@@ -49,7 +50,10 @@ def test_runbook_tiny_end_to_end(tmp_path):
     assert combined["ok"] is True
     assert combined["mismatched_modes"] == []
     ran = {s["stage"] for s in combined["stages"]}
-    assert ran == {"capture_reference", "golden_parity", "layout_eval"}
+    assert ran == {"capture_reference", "golden_parity", "layout_eval",
+                   "quant_quality"}
+    # the quantization-quality section rode into the combined report
+    assert set(combined["quant_quality"]) == {"bf16", "int8", "int8_kv"}
     # the full 7-mode parity report is embedded
     modes = {r["mode"] for r in combined["parity"]}
     assert modes == {"plan", "mmu", "edit", "rm", "uni", "losses", "prompts"}

@@ -241,7 +241,13 @@ def main(argv=None) -> int:
     for q in quants:
         try:
             cq = apply_overrides(cfg, {"generation.quantize": q})
-            pipe_q = build_pipeline(cq, params=params)
+            # int4 modes DONATE the dense tree they quantize (tasks/eval.py
+            # _apply_quantize, a 7B memory requirement) — hand them a copy
+            # so the shared base params survive for the next config
+            p_in = params
+            if q in ("int4", "int4_a8"):
+                p_in = jax.tree_util.tree_map(jnp.array, params)
+            pipe_q = build_pipeline(cq, params=p_in)
             _out, rec = run_config(pipe_q, base, modes, args.n_images,
                                    args.seed)
             if feat is not None:

@@ -86,6 +86,10 @@ def main(argv=None) -> int:
                     help="batches for stage 3 (-1 = full dataset — eval's "
                          "sentinel; 0 would run ZERO batches and green-"
                          "light an empty stage)")
+    ap.add_argument("--quant", default=None,
+                    help="comma list of quantized configs to quality-gate "
+                         "vs own-bf16 (tools/quant_quality.py), e.g. "
+                         "'int8,int8_kv,int4,int4_a8,auto'")
     ap.add_argument("--skip-capture", action="store_true",
                     help="reuse an existing goldens dir")
     ap.add_argument("--skip-bench", action="store_true")
@@ -147,7 +151,23 @@ def main(argv=None) -> int:
             cmd += ["--cfg", args.cfg]
         stages.append(_run("layout_eval", cmd, workdir))
 
-    # ---- 4. headline bench --------------------------------------------------
+    # ---- 4. quantization quality vs own-bf16 (VERDICT r5 #6) ---------------
+    if args.quant:
+        cmd = [sys.executable, "tools/quant_quality.py",
+               "--janus-path", args.janus_path,
+               "--quant", args.quant,
+               "--out", workdir / "quant_quality.json"]
+        if args.finetune:
+            cmd += ["--finetune", args.finetune]
+        if args.cfg:
+            cmd += ["--cfg", args.cfg]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        if args.tiny:
+            cmd += ["--n-images", "2", "--max-new-text-tokens", "8"]
+        stages.append(_run("quant_quality", cmd, workdir))
+
+    # ---- 5. headline bench --------------------------------------------------
     if not args.skip_bench and not args.tiny:
         stages.append(_run("bench", [sys.executable, "bench.py"], workdir))
 
@@ -157,10 +177,17 @@ def main(argv=None) -> int:
             parity = json.loads(report_path.read_text())
         except json.JSONDecodeError:
             pass
-    return _finish(out_path, stages, parity)
+    quant = None
+    qq_path = workdir / "quant_quality.json"
+    if args.quant and qq_path.exists():
+        try:
+            quant = json.loads(qq_path.read_text())
+        except json.JSONDecodeError:
+            pass
+    return _finish(out_path, stages, parity, quant)
 
 
-def _finish(out_path: Path, stages, parity) -> int:
+def _finish(out_path: Path, stages, parity, quant=None) -> int:
     ok = all(s["rc"] == 0 for s in stages)
     bad_modes = []
     compared = 0
@@ -184,6 +211,7 @@ def _finish(out_path: Path, stages, parity) -> int:
         "compared_modes": compared,
         "mismatched_modes": bad_modes,
         "parity": parity,
+        "quant_quality": quant,
     }
     out_path.write_text(json.dumps(report, indent=1))
     print(json.dumps({"ok": report["ok"], "out": str(out_path),
