@@ -84,6 +84,34 @@ def bench_train():
     return mod
 
 
+def test_merge_train_rows_keyed_by_text_len(bench_train):
+    """A text_len=700 refresh must sit NEXT TO the committed text_len=128
+    rows (the VERDICT r5 #3 {128, 512, 700} matrix), replace only its own
+    (mode, optimizer, text_len) cell, and treat legacy stamp-less rows as
+    text_len=128."""
+    old = [
+        {"mode": "stage3", "optimizer": "adafactor", "text_len": 128,
+         "ms_per_step": 524.0},
+        {"mode": "lora", "ms_per_step": 300.0},  # legacy: no stamp -> 128
+    ]
+    new = [{"mode": "stage3", "optimizer": "adafactor", "text_len": 700,
+            "ms_per_step": 1110.0}]
+    merged = bench_train.merge_train_rows(old, new, run_text_len=700)
+    assert len(merged) == 3  # nothing displaced
+    # same-cell refresh replaces (stamp-less new row inherits the run len)
+    merged2 = bench_train.merge_train_rows(
+        merged, [{"mode": "stage3", "optimizer": "adafactor",
+                  "text_len": 700, "ms_per_step": 1000.0}], 700)
+    assert len(merged2) == 3
+    assert [r for r in merged2 if r.get("text_len") == 700][0][
+        "ms_per_step"] == 1000.0
+    # legacy stamp-less committed row is a 128 row: a 128 refresh hits it
+    merged3 = bench_train.merge_train_rows(
+        merged2, [{"mode": "lora", "text_len": 128, "ms_per_step": 1.0}], 128)
+    assert len(merged3) == 3
+    assert [r for r in merged3 if r["mode"] == "lora"][0]["ms_per_step"] == 1.0
+
+
 def test_build_mode_tiny_finite_loss(bench_train):
     """Regression: synthetic ids were sampled in [3, 1000) regardless of
     vocab, so tiny configs (vocab 512) gathered OOB embeddings and every

@@ -187,6 +187,19 @@ def bench_mode(mode: str, cfg, shapes) -> dict:
     }
 
 
+def merge_train_rows(old_rows, new_rows, run_text_len):
+    """Row merge key is (mode, optimizer, text_len): a T=700 refresh must
+    sit NEXT TO the committed T=128 rows (VERDICT r5 #3 wants the
+    {128, 512, 700} matrix), not replace them. Pre-r5 rows lack the
+    per-row text_len stamp and were all measured at 128."""
+    fresh = {(r["mode"], r.get("optimizer", "adamw"),
+              r.get("text_len", run_text_len)) for r in new_rows}
+    kept = [r for r in old_rows
+            if (r.get("mode"), r.get("optimizer", "adamw"),
+                r.get("text_len", 128)) not in fresh]
+    return kept + new_rows
+
+
 def main():
     import jax
 
@@ -226,9 +239,8 @@ def main():
         # merge by (mode, optimizer) over the committed rows, as the decode
         # sweep merges by (config, batch): a subset refresh (e.g.
         # TRAIN_OPT=adafactor BENCH_TRAIN_MODES=stage3) keeps other rows
-        fresh = {(r["mode"], r.get("optimizer", "adamw")) for r in rows}
-        kept = [r for r in doc.get("train", {}).get("rows", [])
-                if (r.get("mode"), r.get("optimizer", "adamw")) not in fresh]
+        merged = merge_train_rows(
+            doc.get("train", {}).get("rows", []), rows, shapes[3])
         doc["train"] = {
             "note": (
                 "multi-task train step on one chip (tools/bench_train.py): "
@@ -242,7 +254,7 @@ def main():
                 "text_len": shapes[3], "remat": shapes[4],
                 "master_dtype": shapes[5],
             },
-            "rows": kept + rows,
+            "rows": merged,
         }
         out_path.write_text(json.dumps(doc, indent=1))
     print(json.dumps({"train_rows": len(rows), "out": str(out_path)}))
