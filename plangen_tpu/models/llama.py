@@ -352,6 +352,13 @@ def _layer(
             else:
                 attn = dot_product_attention(q, k_full, v_full, bias=bias)
             new_cache = cache_dict
+    elif "attn" in ablate:
+        # no-cache (training) ablation: q keeps the qkv projections live
+        # and the data dependence on k/v is kept by a cheap per-row sum so
+        # XLA can't dead-code the kv projections either
+        attn = q + (jnp.sum(k, axis=2, keepdims=True)
+                    + jnp.sum(v, axis=2, keepdims=True)) * 1e-30
+        new_cache = None
     elif flash_mask is not None:
         from plangen_tpu.ops.pallas_attention import flash_attention
 
@@ -407,7 +414,8 @@ def forward(
     # (self-speculative drafting, runtime/speculative.py); final norm still
     # applies, cache rows are written for layers [0, K) only
     ablate: frozenset = frozenset(),  # diagnostic component ablation
-    # (see _layer; cached decode path only — tools/bench_step_budget.py)
+    # (see _layer; decode — tools/bench_step_budget.py — and the no-cache
+    # training path's "attn" — tools/bench_train_budget.py)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack (final RMSNorm applied, no head).
 
@@ -473,10 +481,11 @@ def forward(
         return {**lora_slice, "scaling": lora_scale}
 
     if kv_cache is None:
-        # flash path requires 128-aligned seq, 128 head_dim, arange positions
+        # flash path requires 128 head_dim + arange positions; the kernel
+        # right-pads non-128-aligned seqs internally (recipe lengths like
+        # 700 / 700+576=1276 are NOT aligned — ops/pallas_attention.py)
         flash_ok = (
             use_flash
-            and Q % 128 == 0
             and cfg.head_dim == 128
             and attn_mask.shape[1] == Q
         )
@@ -487,6 +496,7 @@ def forward(
             x, _ = _layer(
                 layer_p, cfg, x, bias, cos, sin, None, write_at,
                 lora=with_scale(lora_slice), flash_mask=flash_mask,
+                ablate=ablate,
             )
             return x, None
 

@@ -19,6 +19,7 @@ softmax) to bf16 tolerance; verified in tests/test_pallas.py.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -186,8 +187,8 @@ def flash_attention(
 ) -> jax.Array:
     """Flash attention in the model's [B, S, H, D] layout.
 
-    S must be a multiple of the block sizes (the processor's bucketed padding
-    guarantees this when bucket=128); GQA is handled by repeating KV heads.
+    Any S: non-block-multiple sequences are right-padded internally (masked
+    keys, discarded query rows); GQA is handled by repeating KV heads.
     """
     return _flash_apply(q, k, v, pad_mask, causal, scale, block_q, block_k, interpret)
 
@@ -201,11 +202,21 @@ def _flash_apply(q, k, v, pad_mask, causal, scale, block_q, block_k, interpret=F
         rep = H // Hkv
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+    # pad S up to a block multiple (training lengths are recipe-driven, e.g.
+    # 700 or 700+576=1276, not 128-aligned): appended key columns carry
+    # pad_mask=0 so real rows never see them; appended query rows compute
+    # garbage and are sliced off. Right-padding is safe under left-padded
+    # inputs because causal masking is by absolute row/col index.
+    pad = (-S) % math.lcm(block_q, block_k)
+    if pad:
+        widths = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, widths), jnp.pad(k, widths), jnp.pad(v, widths)
+        pad_mask = jnp.pad(pad_mask, ((0, 0), (0, pad)))
     qt = q.transpose(0, 2, 1, 3)  # [B, H, S, D]
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     out = _flash_fwd(qt, kt, vt, pad_mask, causal, scale, block_q, block_k, interpret)
-    return out.transpose(0, 2, 1, 3)
+    return out.transpose(0, 2, 1, 3)[:, :S]
 
 
 def _reference(q, k, v, pad_mask, causal, scale):

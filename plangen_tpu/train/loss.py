@@ -102,10 +102,11 @@ def _lm_shift_ce(params: Params, hidden, labels, pad_id, fused=False) -> jax.Arr
 def _forward_full(
     params, cfg: PlanGenModelConfig, embeds, mask,
     remat: bool = False, use_flash: bool = False,
+    ablate: frozenset = frozenset(),
 ):
     hidden, _ = llama.forward(
         params["language_model"], cfg.llama, embeds, mask,
-        remat=remat, use_flash=use_flash,
+        remat=remat, use_flash=use_flash, ablate=ablate,
     )
     return hidden
 
@@ -143,7 +144,8 @@ def t2i_loss(
     img_embeds = vlm.gen_img_embeds(params, vq_ids).astype(text_embeds.dtype)
     embeds = jnp.concatenate([text_embeds, img_embeds], axis=1)  # [B, L+N]
 
-    hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash)
+    hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash,
+                           ablate=ablate)
 
     if "heads" in ablate:
         # surrogate keeps the LM fwd+bwd alive, kills gen_head/lm_head + CE
@@ -205,7 +207,8 @@ def mmu_loss(
             params, cfg, input_ids, images, images_seq_mask,
             use_flash=use_flash, remat=remat,
         )
-    hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash)
+    hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash,
+                           ablate=ablate)
     if "heads" in ablate:
         return {"loss_mmu": jnp.mean(hidden.astype(jnp.float32))}
     labels = jnp.where(images_seq_mask, pad_id, input_ids)
@@ -225,7 +228,8 @@ def plan_loss(
 ) -> Dict[str, jax.Array]:
     """Planning loss (reference forward_plan -> forward_mmu(is_plan=True))."""
     embeds = vlm.embed_text(params, input_ids)
-    hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash)
+    hidden = _forward_full(params, cfg, embeds, attn_mask, remat, use_flash,
+                           ablate=ablate)
     if "heads" in ablate:
         return {"loss_plan_lm": jnp.mean(hidden.astype(jnp.float32))}
     return {"loss_plan_lm": _lm_shift_ce(params, hidden, input_ids, pad_id,

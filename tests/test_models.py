@@ -97,6 +97,35 @@ class TestLlama:
                 np.asarray(h[:, 0]), np.asarray(hidden_full[:, L + step]), atol=2e-5
             )
 
+    def test_flash_training_path_matches(self, monkeypatch):
+        """use_flash on the no-cache (training) forward at a NON-128-aligned
+        length (the recipe's lengths never are) must match the XLA path."""
+        import functools
+        from dataclasses import replace
+
+        from plangen_tpu.ops import pallas_attention
+
+        monkeypatch.setattr(
+            pallas_attention, "flash_attention",
+            functools.partial(pallas_attention.flash_attention, interpret=True),
+        )
+        cfg = replace(
+            TINY.llama, num_heads=2, num_kv_heads=1, head_dim=128,
+            hidden_size=256, intermediate_size=256,
+        )
+        params = llama.init(KEY, cfg, dtype=F32)
+        ids = jax.random.randint(KEY, (2, 9), 0, cfg.vocab_size)
+        mask = jnp.ones((2, 9)).at[0, :3].set(0)  # left-padded row
+        x = llama.embed(params, ids)
+        base, _ = llama.forward(params, cfg, x, mask, use_flash=False)
+        flash, _ = llama.forward(params, cfg, x, mask, use_flash=True)
+        np.testing.assert_allclose(
+            np.asarray(base[0, 3:]), np.asarray(flash[0, 3:]), atol=3e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(base[1]), np.asarray(flash[1]), atol=3e-5
+        )
+
     def test_left_padding_matches_unpadded(self):
         """A left-padded row must produce the same last-token hidden state as
         the unpadded sequence (absolute positions differ, but RoPE is relative

@@ -50,6 +50,41 @@ class TestFlashAttention:
         ref = _reference(q, k, v, mask, False, 128 ** -0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    def test_non_block_multiple_seq(self):
+        """Recipe lengths (700, 700+576=1276) are not 128-aligned: the
+        kernel right-pads internally; real rows must be exact."""
+        q, k, v = make_qkv(S=190)
+        mask = np.ones((2, 190), dtype=np.int32)
+        mask[0, :37] = 0  # left padding on top of the internal right pad
+        mask = jnp.asarray(mask)
+        out = flash_attention(q, k, v, mask, interpret=True)
+        ref = _reference(q, k, v, mask, True, 128 ** -0.5)
+        np.testing.assert_allclose(
+            np.asarray(out[0, 37:]), np.asarray(ref[0, 37:]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[1]), np.asarray(ref[1]), atol=2e-5
+        )
+
+    def test_gradient_non_block_multiple(self):
+        q, k, v = make_qkv(B=1, S=190, H=1, Hkv=1)
+        mask = jnp.ones((1, 190), dtype=jnp.int32)
+
+        def loss(q, k, v):
+            return jnp.sum(
+                flash_attention(q, k, v, mask, True, None, 128, 128, True) ** 2
+            )
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        ref_g = jax.grad(
+            lambda q, k, v: jnp.sum(
+                _reference(q, k, v, mask, True, 128 ** -0.5) ** 2
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g, ref_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
     def test_gqa(self):
         q, k, v = make_qkv(H=4, Hkv=2)
         mask = jnp.ones((2, 256), dtype=jnp.int32)

@@ -11,6 +11,9 @@ component removed at a time and derives each component's share:
   ablate_vq     VQ encoder off (constant labels)      -> VQ share
   ablate_siglip vision tower + aligner off (mmu)      -> SigLIP share
   ablate_heads  lm_head/gen_head + CE off             -> heads+CE share
+  ablate_attn   QK^T/softmax/AV off (projections kept) -> attention share
+  ablate_qkvo   q/k/v/o projections off               -> attn-matmul share
+  ablate_mlp    MLP block off                         -> MLP-matmul share
   flow_uni/mmu/plan  single-flow steps (additivity check)
   remat_dots    selective save policy (ops/remat.py)  -> harvest lever
   remat_off     no recompute (memory permitting)      -> remat tax
@@ -125,6 +128,9 @@ def row_specs(mode, cfg, shapes):
         "ablate_vq": step(ablate=frozenset({"vq"})),
         "ablate_siglip": step(ablate=frozenset({"siglip"})),
         "ablate_heads": step(ablate=frozenset({"heads"})),
+        "ablate_attn": step(ablate=frozenset({"attn"})),
+        "ablate_qkvo": step(ablate=frozenset({"qkvo"})),
+        "ablate_mlp": step(ablate=frozenset({"mlp"})),
         "flow_uni": step(flows=((0, "uni"),)),
         "flow_mmu": step(flows=((1, "mmu"),)),
         "flow_plan": step(flows=((2, "plan"),)),
@@ -156,6 +162,9 @@ def derive(rows):
     delta("vq_encode_ms", "full", "ablate_vq")
     delta("siglip_ms", "full", "ablate_siglip")
     delta("heads_ce_ms", "full", "ablate_heads")
+    delta("attn_ms", "full", "ablate_attn")
+    delta("qkvo_ms", "full", "ablate_qkvo")
+    delta("mlp_ms", "full", "ablate_mlp")
     delta("remat_recompute_ms", "full", "remat_off")
     delta("remat_dots_saves_ms", "full", "remat_dots")
     delta("flash_saves_ms", "full", "flash")
@@ -165,6 +174,24 @@ def derive(rows):
         d["flow_sum_minus_full_ms"] = round(
             ms["flow_uni"] + ms["flow_mmu"] + ms["flow_plan"] - ms["full"], 1)
     return d
+
+
+def _derived_groups(merged, prior):
+    """Per-(text_len, bs) delta groups; recipe batch (3,3,2) keeps the
+    bare text_len key (back-compat), other batches append '@u/m/p'."""
+    groups = {}
+    for r in merged:
+        bs = tuple(r.get("bs", (3, 3, 2)))
+        k = str(r.get("text_len"))
+        if bs != (3, 3, 2):
+            k += "@" + "/".join(map(str, bs))
+        groups.setdefault(k, []).append(r)
+    out = {k: v for k, v in prior.items()}  # keep groups not re-derived
+    for k, rows in groups.items():
+        d = derive(rows)
+        if d:
+            out[k] = d
+    return out
 
 
 def main():
@@ -203,7 +230,8 @@ def main():
         if only_set is not None and name not in only_set:
             continue
         row = {"name": name, "text_len": L, "mode": mode,
-               "optimizer": os.environ["TRAIN_OPT"]}
+               "optimizer": os.environ["TRAIN_OPT"],
+               "bs": [shapes[0], shapes[1], shapes[2]]}
         try:
             t0 = time.perf_counter()
             fn, args, sync, rebind = build()
@@ -225,11 +253,17 @@ def main():
 
         doc = json.loads(out_path.read_text()) if out_path.exists() else {}
         sect = doc.get("train_budget", {})
-        old = {(r["name"], r.get("text_len")): r for r in sect.get("rows", [])}
+        # merge key includes the batch stamp so reduced-batch lever rows
+        # (remat variants only fit below recipe batch) sit NEXT TO the
+        # recipe-shape rows; legacy stamp-less rows were all 3/3/2
+        key = lambda r: (r["name"], r.get("text_len"),
+                         tuple(r.get("bs", (3, 3, 2))))
+        old = {key(r): r for r in sect.get("rows", [])}
         for r in rows:
-            old[(r["name"], r.get("text_len"))] = r
+            old[key(r)] = r
         merged = sorted(old.values(),
-                        key=lambda r: (r.get("text_len") or 0, r["name"]))
+                        key=lambda r: (r.get("text_len") or 0, r["name"],
+                                       tuple(r.get("bs", (3, 3, 2)))))
         doc["train_budget"] = {
             "note": (
                 "train-step component budget by ablation of the real "
@@ -241,11 +275,10 @@ def main():
                        "plan_bs": shapes[2], "remat": shapes[4],
                        "master_dtype": shapes[5]},
             "rows": merged,
-            "derived": {
-                str(L): derive([r for r in merged
-                                if r.get("text_len") == L]),
-            } | {k: v for k, v in sect.get("derived", {}).items()
-                 if k != str(L)},
+            # deltas only make sense within one (text_len, bs) group;
+            # recipe-batch groups keep the bare "700" key, reduced-batch
+            # groups get "700@1/1/1"
+            "derived": _derived_groups(merged, sect.get("derived", {})),
         }
         out_path.write_text(json.dumps(doc, indent=1))
     print(json.dumps({"budget_rows": len(rows), "derived": derive(rows)}))
