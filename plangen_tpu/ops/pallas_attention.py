@@ -244,3 +244,65 @@ def _bwd(causal, scale, block_q, block_k, interpret, res, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention_tpu(
+    q: jax.Array,  # [B, S, H, D] model layout
+    k: jax.Array,  # [B, S, Hkv, D]
+    v: jax.Array,
+    pad_mask: jax.Array,  # [B, S] (1 = real token)
+    causal: bool = True,
+    scale: Optional[float] = None,
+    block: int = 512,
+) -> jax.Array:
+    """Training-forward attention via the official TPU flash kernels
+    (jax.experimental.pallas.ops.tpu.flash_attention), which ship REAL
+    dq/dkv backward kernels — unlike this module's forward-only kernel,
+    whose recompute-XLA VJP made it a net LOSS in training (BENCH_SWEEP
+    train_budget "flash" row: +76 ms/step at T=700).
+
+    Padding -> segment ids: real tokens get segment 1, pads segment 0, so
+    real rows attend only real cols (same predicate as make_causal_bias's
+    pad_mask term). Non-block-multiple S is right-padded and sliced back.
+    GQA repeats KV heads. Differentiable end-to-end (the kernel carries its
+    own custom VJP). CPU tests run it under pltpu.force_tpu_interpret_mode.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention as _tpu_flash,
+    )
+
+    B, S, H, D = q.shape
+    if scale is None:
+        scale = D ** -0.5
+    Hkv = k.shape[2]
+    if Hkv != H:
+        rep = H // Hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    # pick the block size that minimizes padded length (ties -> larger
+    # block): S=1276 -> 256 (pad to 1280), S=700 -> 128 (pad to 704)
+    cands = [c for c in (512, 256, 128) if c <= max(block, 128)]
+    b = min(cands, key=lambda c: (-(-S // c) * c, -c))
+    pad = (-S) % b
+    if pad:
+        widths = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, widths), jnp.pad(k, widths), jnp.pad(v, widths)
+        pad_mask = jnp.pad(pad_mask, ((0, 0), (0, pad)))
+    seg = (pad_mask > 0).astype(jnp.int32)
+    sizes = BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+        block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
+    )
+    out = _tpu_flash(
+        q.transpose(0, 2, 1, 3),  # [B, H, S, D] kernel layout
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        causal=causal,
+        sm_scale=scale,
+        block_sizes=sizes,
+    )
+    return out.transpose(0, 2, 1, 3)[:, :S]

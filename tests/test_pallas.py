@@ -174,3 +174,73 @@ class TestPrefixDecodeAttention:
         finally:
             pda.prefix_decode_attention = orig
         np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(out.tokens))
+
+
+class TestFlashAttentionTPU:
+    """flash_attention_tpu (official fwd+bwd kernels) vs the XLA reference,
+    run under pltpu.force_tpu_interpret_mode on CPU."""
+
+    def _interp(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        return pltpu.force_tpu_interpret_mode()
+
+    def test_causal_left_pad_matches(self):
+        from plangen_tpu.ops.pallas_attention import flash_attention_tpu
+
+        q, k, v = make_qkv(S=256)
+        mask = np.ones((2, 256), dtype=np.int32)
+        mask[0, :130] = 0
+        mask = jnp.asarray(mask)
+        with self._interp():
+            out = flash_attention_tpu(q, k, v, mask, block=128)
+        ref = _reference(q, k, v, mask, True, 128 ** -0.5)
+        np.testing.assert_allclose(
+            np.asarray(out[0, 130:]), np.asarray(ref[0, 130:]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[1]), np.asarray(ref[1]), atol=2e-5
+        )
+
+    def test_non_aligned_gqa(self):
+        from plangen_tpu.ops.pallas_attention import flash_attention_tpu
+
+        q, k, v = make_qkv(S=190, H=4, Hkv=2)
+        mask = jnp.ones((2, 190), dtype=jnp.int32)
+        with self._interp():
+            out = flash_attention_tpu(q, k, v, mask, block=128)
+        ref_k = jnp.repeat(k, 2, axis=2)
+        ref_v = jnp.repeat(v, 2, axis=2)
+        ref = _reference(q, ref_k, ref_v, mask, True, 128 ** -0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_gradients_match_reference(self):
+        """Like the model's loss, pad-row outputs carry ZERO cotangent (CE
+        ignores pad positions) — under that contract the two paddings agree
+        (segment ids stop pad ROWS attending real cols; the XLA bias does
+        not, but those rows' outputs never reach the loss)."""
+        from plangen_tpu.ops.pallas_attention import flash_attention_tpu
+
+        q, k, v = make_qkv(B=1, S=190, H=1, Hkv=1)
+        mask = np.ones((1, 190), dtype=np.int32)
+        mask[0, :9] = 0  # left pad
+        mask = jnp.asarray(mask)
+        w = mask.astype(jnp.float32)[:, :, None, None]
+
+        with self._interp():
+            g = jax.grad(
+                lambda q, k, v: jnp.sum(
+                    (flash_attention_tpu(q, k, v, mask, block=128) * w) ** 2
+                ),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+        ref_g = jax.grad(
+            lambda q, k, v: jnp.sum(
+                (_reference(q, k, v, mask, True, 128 ** -0.5) * w) ** 2
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g, ref_g):
+            np.testing.assert_allclose(
+                np.asarray(a[:, 9:]), np.asarray(b[:, 9:]), atol=5e-4
+            )
