@@ -141,6 +141,9 @@ def main():
         "tpu_flash_b256": make_tpu_attn(256),
         "tpu_flash_b512": make_tpu_attn(512),
     }
+    only = os.environ.get("ATTN_ONLY")  # e.g. "xla" — each variant is
+    if only:                            # minutes of remote compile
+        variants = {k: v for k, v in variants.items() if k in only.split(",")}
     rows = []
     for bs in shapes.split(";"):
         B, S = (int(x) for x in bs.split(","))
