@@ -161,18 +161,25 @@ def main():
     for r in rows:
         old[key_of(r)] = r
     merged = sorted(old.values(), key=lambda r: (r["name"], r["B"], r["S"]))
-    ms = {r["name"]: r["ms_per_iter"] for r in merged
-          if "ms_per_iter" in r and r["B"] == B and r["S"] == S}
     derived = {}
-    for comp in ("qkvo", "mlp", "attn"):
+    for rm in (True, False):
+        ms = {r["name"]: r["ms_per_iter"] for r in merged
+              if "ms_per_iter" in r and r["B"] == B and r["S"] == S
+              and r.get("remat", True) == rm}
+        suf = "" if rm else "_noremat"
+        for comp in ("qkvo", "mlp", "attn"):
+            for d in ("fwd", "fwd_bwd"):
+                a, b = f"{d}_full", f"{d}_no_{comp}"
+                if a in ms and b in ms:
+                    derived[f"{d}_{comp}_ms{suf}"] = round(ms[a] - ms[b], 3)
         for d in ("fwd", "fwd_bwd"):
-            a, b = f"{d}_full", f"{d}_no_{comp}"
+            a, b = f"{d}_qkvo_only", f"{d}_norms_only"
             if a in ms and b in ms:
-                derived[f"{d}_{comp}_ms"] = round(ms[a] - ms[b], 3)
-    for d in ("fwd", "fwd_bwd"):
-        a, b = f"{d}_qkvo_only", f"{d}_norms_only"
+                derived[f"{d}_qkvo_in_context_ms{suf}"] = round(
+                    ms[a] - ms[b], 3)
+        a, b = "fwd_bwd_full", "fwd_full"
         if a in ms and b in ms:
-            derived[f"{d}_qkvo_in_context_ms"] = round(ms[a] - ms[b], 3)
+            derived[f"bwd_only_ms{suf}"] = round(ms[a] - ms[b], 3)
     doc["layer_train"] = {
         "note": ("ONE production decoder layer (llama.forward, num_layers=1)"
                  " at recipe training shape, isolated + component-ablated:"
