@@ -59,7 +59,9 @@ def main():
     B = int(os.environ.get("LAYER_B", "3"))
     S = int(os.environ.get("LAYER_S", "1276"))
     n1, n2 = (int(x) for x in os.environ.get("LAYER_ITERS", "4,12").split(","))
-    remat = os.environ.get("LAYER_REMAT", "1") == "1"
+    remat_env = os.environ.get("LAYER_REMAT", "1")
+    # "0"/"1" -> bool; anything else is an ops/remat.py policy name
+    remat = {"0": False, "1": True}.get(remat_env, remat_env)
     only = os.environ.get("LAYER_ONLY")
     out_path = Path(os.environ.get(
         "BENCH_OUT", Path(__file__).parent.parent / "BENCH_SWEEP.json"))
@@ -162,11 +164,13 @@ def main():
         old[key_of(r)] = r
     merged = sorted(old.values(), key=lambda r: (r["name"], r["B"], r["S"]))
     derived = {}
-    for rm in (True, False):
+    regimes = {r.get("remat", True) for r in merged}
+    for rm in sorted(regimes, key=str):
         ms = {r["name"]: r["ms_per_iter"] for r in merged
               if "ms_per_iter" in r and r["B"] == B and r["S"] == S
               and r.get("remat", True) == rm}
-        suf = "" if rm else "_noremat"
+        suf = ("" if rm is True
+               else "_noremat" if rm is False else f"_{rm}")
         for comp in ("qkvo", "mlp", "attn"):
             for d in ("fwd", "fwd_bwd"):
                 a, b = f"{d}_full", f"{d}_no_{comp}"
