@@ -247,7 +247,10 @@ def main():
                 "reference per-GPU recipe uni3+mmu3+plan2, bf16 masters + "
                 "remat; pct_of_compute_floor vs (8 if remat else 6)*N_lm*"
                 "T_lm / 197 TFLOP/s bf16 — LM tower only, SigLIP/VQ and "
-                "optimizer excluded (estimate, labeled)"
+                "optimizer excluded (estimate, labeled). The de-jure floor "
+                "is NOT reachable: see train_budget.composite "
+                "(tools/train_ceiling.py) for the measured composite "
+                "ceiling the step is judged against (DESIGN.md section 14)"
             ),
             "shapes": {
                 "uni_bs": shapes[0], "mmu_bs": shapes[1], "plan_bs": shapes[2],
