@@ -199,6 +199,9 @@ def test_compute_composite_on_committed_sweep(train_ceiling):
     sweep = json.loads((REPO / "BENCH_SWEEP.json").read_text())
     c = train_ceiling.compute_composite(sweep)
     assert 50.0 < c["pct_of_composite"] <= 110.0
-    committed = sweep["train_budget"].get("composite")
-    if committed is not None:
-        assert committed == c
+    # the committed block must exist (bench_train_budget.py once dropped it
+    # on section rewrite) and match the derivation; oom_evidence is the one
+    # key another tool (probe_remat_oom.py) adds on top
+    committed = sweep["train_budget"]["composite"]
+    committed["remat"].pop("oom_evidence", None)
+    assert committed == c

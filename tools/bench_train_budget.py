@@ -264,7 +264,11 @@ def main():
         merged = sorted(old.values(),
                         key=lambda r: (r.get("text_len") or 0, r["name"],
                                        tuple(r.get("bs", (3, 3, 2)))))
+        # preserve keys other tools own (train_ceiling.py's "composite")
+        extra = {k: v for k, v in sect.items()
+                 if k not in ("note", "shapes", "rows", "derived")}
         doc["train_budget"] = {
+            **extra,
             "note": (
                 "train-step component budget by ablation of the real "
                 "program (tools/bench_train_budget.py): ms = min of 5 on "
