@@ -209,10 +209,13 @@ def resolve_headline(env, env_wmode, env_batch):
     stays config-stable across rounds.
     """
     quantized_cache = env.get("BENCH_INT8_KV") == "1"
+    # PRESENCE of a quant env pins, even "=0": BENCH_INT8_KV=0 is an
+    # explicit request for the bf16-KV headline, not "use the sweep best"
     pinned = (
         env_wmode is not None
-        or quantized_cache
-        or any(e in env for e in ("BENCH_BATCH", "BENCH_MODEL",
+        or any(e in env for e in ("BENCH_INT8_KV", "BENCH_INT4",
+                                  "BENCH_INT4_A8", "BENCH_INT8",
+                                  "BENCH_BATCH", "BENCH_MODEL",
                                   "BENCH_GROWING"))
     )
     if not pinned:

@@ -282,7 +282,8 @@ def flash_attention_tpu(
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
     # pick the block size that minimizes padded length (ties -> larger
-    # block): S=1276 -> 256 (pad to 1280), S=700 -> 128 (pad to 704)
+    # block): S=1276 -> 256 (pad to 1280); S=700 pads to 768 under both
+    # 128 and 256, so the tie-break picks 256
     cands = [c for c in (512, 256, 128) if c <= max(block, 128)]
     b = min(cands, key=lambda c: (-(-S // c) * c, -c))
     pad = (-S) % b

@@ -102,6 +102,14 @@ class TestHeadlineResolution:
         assert bench.resolve_headline({"BENCH_MODEL": "7b"}, None, 16) == (
             None, False, 16, "env")
 
+    def test_explicit_zero_quant_env_pins(self, bench):
+        # "=0" is an explicit bf16 request, not "adopt the sweep best":
+        # presence of the env var pins, whatever its value
+        for var in ("BENCH_INT8_KV", "BENCH_INT4", "BENCH_INT4_A8",
+                    "BENCH_INT8"):
+            assert bench.resolve_headline({var: "0"}, None, 32) == (
+                None, False, 32, "env"), var
+
     def test_sweep_best_is_a_real_row(self, bench):
         row = bench._committed_sweep_best()
         assert row is not None

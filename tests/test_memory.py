@@ -191,6 +191,25 @@ def test_compute_composite_arithmetic(train_ceiling):
     assert c["pct_of_dejure"] == 40.0
 
 
+def test_compute_composite_ignores_foreign_shape_probes(train_ceiling):
+    """Layer probes at a different (B, S) (LAYER_B/LAYER_S ad-hoc runs)
+    must not mix into the recompute ledger: all regimes come from ONE
+    shape — the one with the most regimes."""
+    sweep = _synthetic_sweep()
+    # an odd-shape probe pair that would corrupt the subtraction if the
+    # regime dict keyed rows across shapes (it sorts after (3, 1276))
+    sweep["layer_train"]["rows"] += [
+        {"name": "fwd_bwd_full", "B": 3, "S": 640, "remat": True,
+         "ms_per_iter": 5.0},
+        {"name": "fwd_bwd_full", "B": 3, "S": 640, "remat": False,
+         "ms_per_iter": 4.0},
+    ]
+    c = train_ceiling.compute_composite(sweep)
+    assert c["lm_layer_probe"]["S"] == 1276
+    assert c["remat"]["recompute_ms_per_layer"] == 2.0
+    assert c["remat"]["dots_recovers_pct"] == 75.0
+
+
 def test_compute_composite_on_committed_sweep(train_ceiling):
     """The committed BENCH_SWEEP.json must keep satisfying the derivation
     (the composite block the judge reads is reproducible from its rows)."""

@@ -146,7 +146,6 @@ class TestShardedDecode:
 
 
 @pytest.mark.slow  # ~14 min: full 8-device TP decode at 7B layer shapes
-@pytest.mark.slow  # ~14 min: full 8-device TP decode at 7B layer shapes
 class Test7BLayerShapesTP:
     """7B multi-chip serving claim: the Janus-Pro-7B LAYER shapes (hidden
     4096, 32 heads, inter 11008 — janus_pro_7b dims, three_party/Janus

@@ -16,8 +16,9 @@ variant's loop body includes the layout transposes its wrapper would pay
 inside the model ([B, S, H, D] model layout).
 
 Writes BENCH_SWEEP.json "attn_train" rows. Env: ATTN_SHAPES to override
-"B,S;B,S" list (default the T=700 recipe: uni/mmu rows 3x1280, plan 2x704
-after 128-padding), ATTN_ITERS "N1,N2" (default 4,20).
+"B,S;B,S" list (default the T=700 recipe: uni/mmu rows 3x1280, plan 2x768
+— 700 ties under 128/256 blocks and the kernel picks 256), ATTN_ITERS
+"N1,N2" (default 4,20).
 """
 import json
 import os

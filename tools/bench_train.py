@@ -232,6 +232,12 @@ def main():
             note = re.sub(r"\x1b\[[0-9;]*m", "", str(e))  # strip ANSI codes
             rows.append({"mode": mode,
                          "optimizer": os.environ.get("TRAIN_OPT", "adamw"),
+                         # stamp the shape even on failure: merge_train_rows
+                         # keys by (mode, optimizer, text_len), and an
+                         # unstamped error row would mis-key as the legacy
+                         # 128 default, letting a T=128 refresh delete
+                         # evidence of a failure measured at another length
+                         "text_len": shapes[3],
                          "error": type(e).__name__,
                          "error_note": note[:300]})
         print(json.dumps(rows[-1]), flush=True)

@@ -59,11 +59,18 @@ def compute_composite(sweep: dict, text_len: int = 700,
     non_lm_ms = round(sum(non_lm.values()), 1)
     lm_in_program_ms = round(full_ms - non_lm_ms, 1)
 
-    # isolated production layer at the probe shape, per remat regime
-    layer = {}
+    # isolated production layer at the probe shape, per remat regime.
+    # layer_train.rows may hold probes at several (B, S) (LAYER_B/LAYER_S
+    # env): regimes must come from ONE shape, or the recompute subtraction
+    # below would cross shapes. Use the shape with the most regimes
+    # (ties: the largest-token probe, closest to the recipe).
+    by_shape = {}
     for r in sweep["layer_train"]["rows"]:
         if r["name"] == "fwd_bwd_full" and "ms_per_iter" in r:
-            layer[str(r["remat"])] = r
+            by_shape.setdefault((r["B"], r["S"]), {})[str(r["remat"])] = r
+    shaped = [(len(v), b * s, v) for (b, s), v in by_shape.items()
+              if "True" in v]
+    layer = max(shaped)[2]
     probe = layer["True"]
     probe_tokens = probe["B"] * probe["S"]
     scale = _recipe_tokens(text_len, bs) / probe_tokens
