@@ -210,6 +210,31 @@ def test_compute_composite_ignores_foreign_shape_probes(train_ceiling):
     assert c["remat"]["dots_recovers_pct"] == 75.0
 
 
+def test_ceiling_refresh_preserves_foreign_composite_keys(
+        train_ceiling, tmp_path, monkeypatch):
+    """`python tools/train_ceiling.py` rewrites the composite block from
+    the rows — it must MERGE over the committed block, not replace it:
+    probe_remat_oom.py hangs composite.remat.oom_evidence there and a
+    derivation refresh once silently deleted it."""
+    import json
+
+    sweep = _synthetic_sweep()
+    sweep["train_budget"]["composite"] = {
+        "remat": {"oom_evidence": {"remat_off": {"used_gb": 58.08}}},
+        "external_note": "kept",
+    }
+    p = tmp_path / "sweep.json"
+    p.write_text(json.dumps(sweep))
+    monkeypatch.setenv("BENCH_OUT", str(p))
+    train_ceiling.main()
+    out = json.loads(p.read_text())["train_budget"]["composite"]
+    assert out["remat"]["oom_evidence"]["remat_off"]["used_gb"] == 58.08
+    assert out["external_note"] == "kept"
+    # and the derivation itself still lands
+    assert out["pct_of_composite"] > 0
+    assert out["remat"]["recompute_ms_per_layer"] == 2.0
+
+
 def test_compute_composite_on_committed_sweep(train_ceiling):
     """The committed BENCH_SWEEP.json must keep satisfying the derivation
     (the composite block the judge reads is reproducible from its rows)."""

@@ -134,6 +134,16 @@ def main() -> None:
         "BENCH_OUT", Path(__file__).parent.parent / "BENCH_SWEEP.json"))
     doc = json.loads(path.read_text())
     comp = compute_composite(doc)
+    # merge, don't replace: other tools hang evidence off this block
+    # (probe_remat_oom.py adds composite.remat.oom_evidence) and a
+    # derivation refresh must not delete it
+    old = doc["train_budget"].get("composite", {})
+    for k, v in old.items():
+        if k == "remat":
+            for rk, rv in v.items():
+                comp.setdefault("remat", {}).setdefault(rk, rv)
+        else:
+            comp.setdefault(k, v)
     doc["train_budget"]["composite"] = comp
     path.write_text(json.dumps(doc, indent=1))
     print(json.dumps(comp, indent=1))
